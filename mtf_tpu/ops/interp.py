@@ -1,0 +1,215 @@
+"""Differentiable image patch sampling (gather + interpolation).
+
+TPU-native re-design of the reference pixel-sampling machinery
+(`/root/reference/Utilities/include/mtf/Utilities/imgUtils.h:56-217`,
+`imgUtils.cc`): `getPixVals` grid sampling with Nearest/Linear/Cubic/CubicBSpl
+interpolation and Constant/Replicate borders, plus image gradients and
+Hessians at sampled points.
+
+Design: one vectorized gather per interpolation tap (4 taps bilinear,
+16 taps cubic) over the flattened image — XLA lowers this to TPU gathers;
+the whole patch of N=resx*resy points is sampled in a single fused op.
+`sample` carries a custom JVP whose coordinate tangent is the analytic
+interpolation derivative, so the entire LK Jacobian chain
+(warp -> sample -> similarity) is obtained by `jax.grad` — subsuming the
+reference's two hand-written gradient modes (warped-image-gradient vs
+warp-of-gradient, ImageBase.h:103-114).
+
+Images are (H, W) or (H, W, C) float arrays; points are (N, 2) in (x, y);
+patches are (N, C).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+# interpolation kinds (reference enum InterpType, imgUtils.h:56-64)
+NEAREST = "nearest"
+LINEAR = "linear"
+CUBIC = "cubic"          # Catmull-Rom (reference cubic2)
+CUBIC_BSPL = "cubic_bspl"
+
+# border handling (reference enum BorderType)
+REPLICATE = "replicate"
+CONSTANT = "constant"
+
+
+def _as_hwc(img: Array) -> Array:
+    return img[..., None] if img.ndim == 2 else img
+
+
+def _gather(img_flat: Array, h: int, w: int, xi: Array, yi: Array,
+            border: str, cval: float) -> Array:
+    """Gather pixel values at integer coords (N,) -> (N, C)."""
+    xc = jnp.clip(xi, 0, w - 1)
+    yc = jnp.clip(yi, 0, h - 1)
+    v = jnp.take(img_flat, yc * w + xc, axis=0)
+    if border == CONSTANT:
+        valid = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+        v = jnp.where(valid[:, None], v, jnp.asarray(cval, v.dtype))
+    return v
+
+
+def _cubic_weights(f: Array, kind: str):
+    """Per-point 4-tap weights and their derivatives for offset f in [0,1).
+
+    Catmull-Rom matches the reference's bicubic (imgUtils.h cubic2 path);
+    cubic B-spline matches CubicBSpl (approximating, C2-smooth).
+    Returns (w, dw): each a tuple of 4 arrays shaped like f.
+    """
+    f2 = f * f
+    f3 = f2 * f
+    if kind == CUBIC:
+        w0 = 0.5 * (-f + 2.0 * f2 - f3)
+        w1 = 0.5 * (2.0 - 5.0 * f2 + 3.0 * f3)
+        w2 = 0.5 * (f + 4.0 * f2 - 3.0 * f3)
+        w3 = 0.5 * (-f2 + f3)
+        d0 = 0.5 * (-1.0 + 4.0 * f - 3.0 * f2)
+        d1 = 0.5 * (-10.0 * f + 9.0 * f2)
+        d2 = 0.5 * (1.0 + 8.0 * f - 9.0 * f2)
+        d3 = 0.5 * (-2.0 * f + 3.0 * f2)
+    elif kind == CUBIC_BSPL:
+        onemf = 1.0 - f
+        w0 = onemf * onemf * onemf / 6.0
+        w1 = (4.0 - 6.0 * f2 + 3.0 * f3) / 6.0
+        w2 = (1.0 + 3.0 * f + 3.0 * f2 - 3.0 * f3) / 6.0
+        w3 = f3 / 6.0
+        d0 = -0.5 * onemf * onemf
+        d1 = (-12.0 * f + 9.0 * f2) / 6.0
+        d2 = (3.0 + 6.0 * f - 9.0 * f2) / 6.0
+        d3 = 0.5 * f2
+    else:  # pragma: no cover
+        raise ValueError(f"unknown cubic kind {kind!r}")
+    return (w0, w1, w2, w3), (d0, d1, d2, d3)
+
+
+def _sample_val_grad(img: Array, pts: Array, kind: str, border: str,
+                     cval: float, need_grad: bool):
+    """Core: value (N, C) and, if need_grad, analytic d/d(x,y) (N, C, 2)."""
+    img = _as_hwc(img)
+    h, w, c = img.shape
+    img_flat = img.reshape(h * w, c)
+    x, y = pts[:, 0], pts[:, 1]
+
+    if kind == NEAREST:
+        xi = jnp.round(x).astype(jnp.int32)
+        yi = jnp.round(y).astype(jnp.int32)
+        val = _gather(img_flat, h, w, xi, yi, border, cval)
+        grad = jnp.zeros(val.shape + (2,), val.dtype) if need_grad else None
+        return val, grad
+
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    fx = (x - x0f)[:, None]  # (N, 1)
+    fy = (y - y0f)[:, None]
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+
+    if kind == LINEAR:
+        g = partial(_gather, img_flat, h, w, border=border, cval=cval)
+        v00 = g(x0, y0)
+        v01 = g(x0 + 1, y0)
+        v10 = g(x0, y0 + 1)
+        v11 = g(x0 + 1, y0 + 1)
+        top = v00 * (1.0 - fx) + v01 * fx
+        bot = v10 * (1.0 - fx) + v11 * fx
+        val = top * (1.0 - fy) + bot * fy
+        if not need_grad:
+            return val, None
+        dx = (v01 - v00) * (1.0 - fy) + (v11 - v10) * fy
+        dy = bot - top
+        return val, jnp.stack([dx, dy], axis=-1)
+
+    # 4x4 separable cubic
+    (wx, dwx) = _cubic_weights(fx, kind)
+    (wy, dwy) = _cubic_weights(fy, kind)
+    g = partial(_gather, img_flat, h, w, border=border, cval=cval)
+    rows = []
+    for j in range(4):
+        taps = [g(x0 + i - 1, y0 + j - 1) for i in range(4)]
+        rows.append(taps)
+    # horizontal pass: value and d/dx per row
+    row_v = [sum(rows[j][i] * wx[i] for i in range(4)) for j in range(4)]
+    val = sum(row_v[j] * wy[j] for j in range(4))
+    if not need_grad:
+        return val, None
+    row_dx = [sum(rows[j][i] * dwx[i] for i in range(4)) for j in range(4)]
+    dx = sum(row_dx[j] * wy[j] for j in range(4))
+    dy = sum(row_v[j] * dwy[j] for j in range(4))
+    return val, jnp.stack([dx, dy], axis=-1)
+
+
+@partial(jax.custom_jvp, nondiff_argnums=(2, 3, 4))
+def sample(img: Array, pts: Array, kind: str = LINEAR,
+           border: str = REPLICATE, cval: float = 0.0) -> Array:
+    """Sample `img` at subpixel points `pts` -> patch (N, C).
+
+    Differentiable in both `img` (linear) and `pts` (analytic interpolation
+    derivative via custom JVP). Reference: ``utils::getPixVals``
+    (imgUtils.h:140-151) + gradient semantics of ImageBase.h:103-114.
+    """
+    val, _ = _sample_val_grad(img, pts, kind, border, cval, need_grad=False)
+    return val
+
+
+@sample.defjvp
+def _sample_jvp(kind, border, cval, primals, tangents):
+    img, pts = primals
+    dimg, dpts = tangents
+    val, grad = _sample_val_grad(img, pts, kind, border, cval, need_grad=True)
+    out = jnp.einsum("ncd,nd->nc", grad, jnp.asarray(dpts, val.dtype))
+    out = out + sample(jnp.asarray(dimg, val.dtype), pts, kind, border, 0.0)
+    return val, out
+
+
+def sample_grad(img: Array, pts: Array, kind: str = LINEAR,
+                border: str = REPLICATE, cval: float = 0.0) -> Array:
+    """Analytic image gradient at sampled points -> (N, C, 2).
+
+    The TPU analog of ``ImageBase::updatePixGrad`` /
+    ``utils::getImgGrad`` (imgUtils.h:164-189): the derivative of the
+    interpolant itself (equivalent to the reference's warped central
+    difference in the small-eps limit).
+    """
+    _, grad = _sample_val_grad(img, pts, kind, border, cval, need_grad=True)
+    return grad
+
+
+def sample_grad_fd(img: Array, pts: Array, eps: float = 0.5,
+                   kind: str = LINEAR, border: str = REPLICATE,
+                   cval: float = 0.0) -> Array:
+    """Central-difference image gradient at points -> (N, C, 2).
+
+    Matches the reference's grad_pts path (``updateGradPts`` + getImgGrad,
+    StateSpaceModel grad_pts protocol) with sampling offset ``eps``.
+    """
+    ex = jnp.array([eps, 0.0], pts.dtype)
+    ey = jnp.array([0.0, eps], pts.dtype)
+    gx = sample(img, pts + ex, kind, border, cval) - sample(img, pts - ex, kind, border, cval)
+    gy = sample(img, pts + ey, kind, border, cval) - sample(img, pts - ey, kind, border, cval)
+    return jnp.stack([gx, gy], axis=-1) / (2.0 * eps)
+
+
+def sample_hess_fd(img: Array, pts: Array, eps: float = 0.5,
+                   kind: str = LINEAR, border: str = REPLICATE,
+                   cval: float = 0.0) -> Array:
+    """Finite-difference image Hessian at points -> (N, C, 2, 2).
+
+    Reference: ``ImageBase::initializePixHess`` / ``utils::getImgHess``
+    (imgUtils.h:190-217).
+    """
+    ex = jnp.array([eps, 0.0], pts.dtype)
+    ey = jnp.array([0.0, eps], pts.dtype)
+    s = partial(sample, img, kind=kind, border=border, cval=cval)
+    c = s(pts)
+    dxx = (s(pts + ex) + s(pts - ex) - 2.0 * c) / (eps * eps)
+    dyy = (s(pts + ey) + s(pts - ey) - 2.0 * c) / (eps * eps)
+    dxy = (s(pts + ex + ey) + s(pts - ex - ey)
+           - s(pts + ex - ey) - s(pts - ex + ey)) / (4.0 * eps * eps)
+    row0 = jnp.stack([dxx, dxy], axis=-1)
+    row1 = jnp.stack([dxy, dyy], axis=-1)
+    return jnp.stack([row0, row1], axis=-2)

@@ -1,0 +1,168 @@
+"""Homogeneous-coordinate warp algebra.
+
+TPU-native re-design of the reference warp utilities
+(`/root/reference/Utilities/include/mtf/Utilities/warpUtils.h:36-141`,
+`Utilities/src/warpUtils.cc`): homogenize/dehomogenize, DLT estimators
+(homography/affine/similitude), point normalization, and grid generation
+from region corners.
+
+Conventions (differ deliberately from the Eigen reference):
+  * points are ``(N, 2)`` arrays in ``(x, y)`` order (row-major batches,
+    TPU lane-friendly), not Eigen ``2xN`` column matrices;
+  * corners are ``(4, 2)`` in MTF order ul, ur, lr, ll
+    (cf. GT file layout ``runMTF.cc:359``);
+  * everything is a pure jittable function of f32 arrays.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def homogenize(pts: Array) -> Array:
+    """(..., 2) -> (..., 3) by appending ones. Ref: warpUtils.h:44."""
+    return jnp.concatenate([pts, jnp.ones_like(pts[..., :1])], axis=-1)
+
+
+def dehomogenize(pts_h: Array) -> Array:
+    """(..., 3) -> (..., 2) perspective division. Ref: warpUtils.h:45."""
+    return pts_h[..., :2] / pts_h[..., 2:3]
+
+
+def apply_warp(w: Array, pts: Array) -> Array:
+    """Apply a 3x3 warp to (..., 2) points: dehom(W @ hom(p))."""
+    return dehomogenize(homogenize(pts) @ w.T)
+
+
+def unit_square_corners(dtype=jnp.float32) -> Array:
+    """Centered unit square corners (ul, ur, lr, ll), y pointing down.
+
+    The canonical template frame every SSM maps into the image
+    (analog of ``warpUtils::getNormUnitSquarePts``, warpUtils.h:108-124).
+    """
+    return jnp.array(
+        [[-0.5, -0.5], [0.5, -0.5], [0.5, 0.5], [-0.5, 0.5]], dtype=dtype
+    )
+
+
+def unit_square_grid(resx: int, resy: int, dtype=jnp.float32) -> Array:
+    """(resy*resx, 2) uniform grid over the centered unit square.
+
+    Row-major (y outer, x inner) to match patch flattening everywhere.
+    """
+    xs = jnp.linspace(-0.5, 0.5, resx, dtype=dtype)
+    ys = jnp.linspace(-0.5, 0.5, resy, dtype=dtype)
+    gx, gy = jnp.meshgrid(xs, ys)  # (resy, resx)
+    return jnp.stack([gx.ravel(), gy.ravel()], axis=-1)
+
+
+def normalize_pts(pts: Array, eps: float = 1e-12):
+    """Hartley normalization: returns (pts_n, T) with ``pts_n = apply_warp(T, pts)``.
+
+    Centroid at origin, mean distance sqrt(2). Ref: warpUtils.h:102-103.
+    """
+    c = jnp.mean(pts, axis=0)
+    d = jnp.mean(jnp.linalg.norm(pts - c, axis=-1))
+    s = jnp.sqrt(2.0) / (d + eps)
+    T = jnp.array(
+        [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]], dtype=pts.dtype
+    )
+    T = T.at[0, 0].set(s).at[1, 1].set(s).at[0, 2].set(-s * c[0]).at[1, 2].set(-s * c[1])
+    return (pts - c) * s, T
+
+
+def homography_dlt(src: Array, dst: Array, weights: Array | None = None) -> Array:
+    """Direct linear transform homography fit: W s.t. dst ~ W @ src.
+
+    Normalized DLT via SVD of the (2N, 9) design matrix; optional per-point
+    weights (for robust refits). Ref: ``warpUtils::computeHomographyDLT``
+    (warpUtils.h:67-70), re-designed as a single batched SVD so it can be
+    vmapped over RANSAC hypotheses.
+    """
+    src_n, Ts = normalize_pts(src)
+    dst_n, Td = normalize_pts(dst)
+    x, y = src_n[:, 0], src_n[:, 1]
+    X, Y = dst_n[:, 0], dst_n[:, 1]
+    z = jnp.zeros_like(x)
+    o = jnp.ones_like(x)
+    # rows: [ x y 1 0 0 0 -Xx -Xy -X ; 0 0 0 x y 1 -Yx -Yy -Y ]
+    r1 = jnp.stack([x, y, o, z, z, z, -X * x, -X * y, -X], axis=-1)
+    r2 = jnp.stack([z, z, z, x, y, o, -Y * x, -Y * y, -Y], axis=-1)
+    A = jnp.concatenate([r1, r2], axis=0)  # (2N, 9)
+    if weights is not None:
+        wsq = jnp.sqrt(jnp.maximum(weights, 0.0))
+        A = A * jnp.concatenate([wsq, wsq])[:, None]
+    # full_matrices=True: for the minimal 4-point case A is (8, 9) and the
+    # nullspace vector is the 9th right singular vector, which the reduced
+    # SVD does not return.
+    _, _, vt = jnp.linalg.svd(A, full_matrices=True)
+    h = vt[-1]
+    Wn = h.reshape(3, 3)
+    W = jnp.linalg.solve(Td, Wn @ Ts)
+    return W / W[2, 2]
+
+
+def affine_dlt(src: Array, dst: Array, weights: Array | None = None) -> Array:
+    """Least-squares affine fit (3x3 with last row [0,0,1]).
+
+    Ref: ``warpUtils::computeAffineDLT`` (warpUtils.h:71-74).
+    """
+    A = homogenize(src)  # (N, 3)
+    if weights is not None:
+        wsq = jnp.sqrt(jnp.maximum(weights, 0.0))[:, None]
+        sol = jnp.linalg.lstsq(A * wsq, dst * wsq)[0]  # (3, 2)
+    else:
+        sol = jnp.linalg.lstsq(A, dst)[0]
+    W = jnp.eye(3, dtype=src.dtype)
+    return W.at[:2, :].set(sol.T)
+
+
+def similitude_dlt(src: Array, dst: Array, weights: Array | None = None) -> Array:
+    """LS similitude fit [[a,-b,tx],[b,a,ty],[0,0,1]].
+
+    Ref: ``warpUtils::computeSimilitudeDLT`` (warpUtils.h:75-78).
+    """
+    x, y = src[:, 0], src[:, 1]
+    z = jnp.zeros_like(x)
+    o = jnp.ones_like(x)
+    r1 = jnp.stack([x, -y, o, z], axis=-1)
+    r2 = jnp.stack([y, x, z, o], axis=-1)
+    A = jnp.concatenate([r1, r2], axis=0)  # (2N, 4)
+    b = jnp.concatenate([dst[:, 0], dst[:, 1]])
+    if weights is not None:
+        wsq = jnp.sqrt(jnp.maximum(weights, 0.0))
+        wsq2 = jnp.concatenate([wsq, wsq])
+        A = A * wsq2[:, None]
+        b = b * wsq2
+    a, bb, tx, ty = jnp.linalg.lstsq(A, b)[0]
+    W = jnp.eye(3, dtype=src.dtype)
+    return W.at[0, 0].set(a).at[0, 1].set(-bb).at[0, 2].set(tx) \
+            .at[1, 0].set(bb).at[1, 1].set(a).at[1, 2].set(ty)
+
+
+def grid_from_corners(corners: Array, resx: int, resy: int) -> Array:
+    """(resy*resx, 2) sampling grid inside a corner quadrilateral.
+
+    Warps the uniform unit-square grid through the homography that maps the
+    unit square onto ``corners`` — the analog of the reference's
+    grid-from-corners path (``utils::getPtsFromCorners``; homography variant
+    of warpUtils.h:108-124). Perspective-correct for non-parallelogram quads.
+    """
+    H = homography_dlt(unit_square_corners(corners.dtype), corners)
+    return apply_warp(H, unit_square_grid(resx, resy, corners.dtype))
+
+
+def corners_mtf_to_pts(corners_2x4: Array) -> Array:
+    """MTF (2, 4) corner matrix -> (4, 2) points."""
+    return corners_2x4.T
+
+
+def pts_to_corners_mtf(corners_4x2: Array) -> Array:
+    """(4, 2) corner points -> MTF (2, 4) corner matrix."""
+    return corners_4x2.T
+
+
+def center_of_corners(corners_4x2: Array) -> Array:
+    return jnp.mean(corners_4x2, axis=0)
