@@ -142,6 +142,38 @@ def similitude_dlt(src: Array, dst: Array, weights: Array | None = None) -> Arra
             .at[1, 0].set(bb).at[1, 1].set(a).at[1, 2].set(ty)
 
 
+def homography_from_unit_square(corners: Array) -> Array:
+    """Closed-form homography mapping the *centered* unit square
+    (`unit_square_corners`) onto 4 corner points (ul, ur, lr, ll).
+
+    The classical projective texture-mapping formula — fully differentiable
+    (unlike the SVD DLT), used by the corner-based SSM (reference CBH.cc)
+    and fast paths that always start from the canonical square.
+    """
+    # map centered square -> [0,1]^2 square first
+    A = jnp.array([[1.0, 0.0, 0.5], [0.0, 1.0, 0.5], [0.0, 0.0, 1.0]],
+                  corners.dtype)
+    # corners of [0,1]^2 in order (0,0),(1,0),(1,1),(0,1) = ul,ur,lr,ll
+    x0, y0 = corners[0, 0], corners[0, 1]
+    x1, y1 = corners[1, 0], corners[1, 1]
+    x2, y2 = corners[2, 0], corners[2, 1]
+    x3, y3 = corners[3, 0], corners[3, 1]
+    dx1, dx2, dx3 = x1 - x2, x3 - x2, x0 - x1 + x2 - x3
+    dy1, dy2, dy3 = y1 - y2, y3 - y2, y0 - y1 + y2 - y3
+    den = dx1 * dy2 - dx2 * dy1
+    g = (dx3 * dy2 - dx2 * dy3) / den
+    h = (dx1 * dy3 - dx3 * dy1) / den
+    a = x1 - x0 + g * x1
+    b = x3 - x0 + h * x3
+    d = y1 - y0 + g * y1
+    e = y3 - y0 + h * y3
+    H = jnp.stack([jnp.stack([a, b, x0]),
+                   jnp.stack([d, e, y0]),
+                   jnp.stack([g, h, jnp.ones_like(g)])])
+    # W(centered pt) = H([0,1]^2 pt) = H @ A @ centered_h
+    return H @ A
+
+
 def grid_from_corners(corners: Array, resx: int, resy: int) -> Array:
     """(resy*resx, 2) sampling grid inside a corner quadrilateral.
 
