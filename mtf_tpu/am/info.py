@@ -1,0 +1,160 @@
+"""Information-theoretic appearance models: MI, CCRE, KLD, LKLD.
+
+Re-designs of the reference `AM/src/MI.cc` (933 LoC), `CCRE.cc` (958+512
+LoC TBB), `KLD.cc` (392), `LKLD.cc` (469). The B-spline Parzen machinery
+lives in `mtf_tpu.ops.hist`; joint histograms are dense (B, N) x (N, B)
+MXU matmuls and everything is differentiable w.r.t. the candidate patch,
+so MI/CCRE gradients and Hessians need none of the reference's hand-derived
+n_bins^2 contraction loops (MI.cc:680+).
+
+Multichannel patches: each channel contributes an independent histogram;
+similarities sum over channels.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from mtf_tpu.am.base import AM, AMState
+from mtf_tpu.ops import hist as H
+
+
+class MI(AM):
+    """Mutual information with cubic-B-spline Parzen joint histogram
+    (reference MI.cc:346-383 fused hist+grad pass)."""
+    name = "mi"
+
+    def _z(self, patch):
+        return H.to_bin_coords(patch, self.prm.n_bins, self.prm.pix_min,
+                               self.prm.pix_max, self.prm.pre_seed)
+
+    def _init_extra(self, patch0):
+        z0 = self._z(patch0)  # (N, C)
+        w0 = jax.vmap(lambda z: H.bspl_weights(z, self.prm.n_bins),
+                      in_axes=1, out_axes=0)(z0)  # (C, N, B)
+        return (w0,)
+
+    def _similarity(self, state: AMState, patch):
+        w0 = state.extra[0]  # (C, N, B)
+        zt = self._z(patch)
+        wt = jax.vmap(lambda z: H.bspl_weights(z, self.prm.n_bins),
+                      in_axes=1, out_axes=0)(zt)  # (C, N, B)
+
+        def chan_mi(w0c, wtc):
+            return H.mutual_information(H.joint_hist(w0c, wtc))
+
+        return jnp.sum(jax.vmap(chan_mi)(w0, wt))
+
+    def likelihood(self, state, patch):
+        # MI of patch with itself bounds the achievable similarity
+        return jnp.exp(self.prm.likelihood_alpha * self.f(state, patch))
+
+    def dist_feat(self, patch):
+        # binned feature vector (reference MI dist functor uses hist space)
+        zt = self._z(patch)
+        wt = jax.vmap(lambda z: H.bspl_weights(z, self.prm.n_bins),
+                      in_axes=1, out_axes=0)(zt)
+        return wt.reshape(-1)
+
+
+class CCRE(AM):
+    """Cross-cumulative residual entropy (reference CCRE.cc): MI-style
+    divergence where the candidate axis uses *cumulative* B-spline weights
+    (soft survival indicators), per Wang & Vemuri's CCRE."""
+    name = "ccre"
+
+    def _z(self, patch):
+        return H.to_bin_coords(patch, self.prm.n_bins, self.prm.pix_min,
+                               self.prm.pix_max, self.prm.pre_seed)
+
+    def _init_extra(self, patch0):
+        z0 = self._z(patch0)
+        w0 = jax.vmap(lambda z: H.bspl_weights(z, self.prm.n_bins),
+                      in_axes=1, out_axes=0)(z0)  # (C, N, B)
+        return (w0,)
+
+    def _similarity(self, state: AMState, patch):
+        w0 = state.extra[0]
+        zt = self._z(patch)
+        wc = jax.vmap(lambda z: H.cum_bspl_weights(z, self.prm.n_bins),
+                      in_axes=1, out_axes=0)(zt)  # (C, N, B) cumulative
+
+        def chan(w0c, wcc):
+            n = w0c.shape[0]
+            joint = jnp.dot(wcc.T, w0c,
+                            preferred_element_type=jnp.float32) / n  # (B, B)
+            ec = jnp.mean(wcc, axis=0)      # cumulative marginal (B,)
+            p0 = jnp.mean(w0c, axis=0)      # template marginal (B,)
+            eps = 1e-8
+            denom = ec[:, None] * p0[None, :]
+            return jnp.sum(joint * (jnp.log(joint + eps) - jnp.log(denom + eps)))
+
+        return jnp.sum(jax.vmap(chan)(w0, wc))
+
+    def likelihood(self, state, patch):
+        return jnp.exp(self.prm.likelihood_alpha * self.f(state, patch))
+
+
+class KLD(AM):
+    """(Negative) KL divergence between the marginal Parzen histograms of
+    template and candidate (reference KLD.cc)."""
+    name = "kld"
+
+    def _z(self, patch):
+        return H.to_bin_coords(patch, self.prm.n_bins, self.prm.pix_min,
+                               self.prm.pix_max, self.prm.pre_seed)
+
+    def _init_extra(self, patch0):
+        z0 = self._z(patch0)
+        w0 = jax.vmap(lambda z: H.bspl_weights(z, self.prm.n_bins),
+                      in_axes=1, out_axes=0)(z0)
+        p0 = jax.vmap(H.marginal_hist)(w0)  # (C, B)
+        return (p0,)
+
+    def _similarity(self, state: AMState, patch):
+        p0 = state.extra[0]
+        zt = self._z(patch)
+        wt = jax.vmap(lambda z: H.bspl_weights(z, self.prm.n_bins),
+                      in_axes=1, out_axes=0)(zt)
+        pt = jax.vmap(H.marginal_hist)(wt)
+        eps = 1e-8
+        return -jnp.sum(p0 * (jnp.log(p0 + eps) - jnp.log(pt + eps)))
+
+
+class LKLD(KLD):
+    """Localized KLD: patch split into sub_regions x sub_regions blocks,
+    per-block KLD summed (reference LKLD.cc)."""
+    name = "lkld"
+
+    def _blocks(self, patch):
+        k = self.prm.extra.get("sub_regions", 2)
+        ry, rx, c = self.prm.resy, self.prm.resx, patch.shape[-1]
+        by, bx = ry // k, rx // k
+        img = patch.reshape(ry, rx, c)[: by * k, : bx * k]
+        blocks = img.reshape(k, by, k, bx, c).transpose(0, 2, 1, 3, 4)
+        return blocks.reshape(k * k, by * bx, c)
+
+    def _init_extra(self, patch0):
+        blocks = self._blocks(patch0)  # (K, n, C)
+
+        def per_block(b):
+            z = self._z(b)
+            w = jax.vmap(lambda zz: H.bspl_weights(zz, self.prm.n_bins),
+                         in_axes=1, out_axes=0)(z)
+            return jax.vmap(H.marginal_hist)(w)
+
+        return (jax.vmap(per_block)(blocks),)  # (K, C, B)
+
+    def _similarity(self, state: AMState, patch):
+        p0 = state.extra[0]
+        blocks = self._blocks(patch)
+
+        def per_block(b, p0b):
+            z = self._z(b)
+            w = jax.vmap(lambda zz: H.bspl_weights(zz, self.prm.n_bins),
+                         in_axes=1, out_axes=0)(z)
+            pt = jax.vmap(H.marginal_hist)(w)
+            eps = 1e-8
+            return -jnp.sum(p0b * (jnp.log(p0b + eps) - jnp.log(pt + eps)))
+
+        return jnp.sum(jax.vmap(per_block)(blocks, p0))
