@@ -124,6 +124,24 @@ class AM:
         """df/dIt, shape of patch (reference `updateCurrGrad`)."""
         return jax.grad(lambda p: self.f(state, p))(patch)
 
+    def f_corrected(self, state: AMState, corrected: Array) -> Array:
+        """Similarity on an already illumination-corrected patch (the SM
+        layer differentiates warp+ILM jointly through one patch function)."""
+        return self._similarity(state, corrected)
+
+    def grad_corrected(self, state: AMState, corrected: Array) -> Array:
+        return jax.grad(lambda p: self._similarity(state, p))(corrected)
+
+    def grad_template(self, state: AMState, corrected: Array) -> Array:
+        """df/dI0 — derivative w.r.t. the (raw) template, re-deriving any
+        processed template internals (reference `updateInitGrad` /
+        `cmptInitJacobian`, AppearanceModel.h:142-156). Requires AMState
+        templates to be stored raw (invariant of this codebase)."""
+        def f_of_t(t):
+            st2 = self.init(t)._replace(p_am=state.p_am)
+            return self._similarity(st2, corrected)
+        return jax.grad(f_of_t)(state.template)
+
     def update_state(self, state: AMState, dp_am: Array) -> AMState:
         """p_am <- p_am + dp_am (reference `updateState`)."""
         if self.ilm.n_params == 0:

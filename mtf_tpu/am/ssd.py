@@ -34,18 +34,17 @@ class SSD(AM):
 
 
 class NSSD(SSD):
-    """SSD on pixels remapped to [0, 1] (reference NSSD.cc pix-range remap)."""
+    """SSD on pixels remapped to [0, 1] (reference NSSD.cc pix-range remap).
+
+    Template stored raw (codebase invariant: AMState.template is always the
+    raw patch so template-side AD, grad_template, stays valid)."""
     name = "nssd"
 
     def _norm(self, patch):
         return (patch - self.prm.pix_min) / (self.prm.pix_max - self.prm.pix_min)
 
-    def init(self, patch0):
-        st = super().init(self._norm(patch0))
-        return st
-
     def _similarity(self, state, patch):
-        r = self._norm(patch) - state.template
+        r = self._norm(patch) - self._norm(state.template)
         return -0.5 * jnp.sum(r * r)
 
 
@@ -60,11 +59,8 @@ class ZNCC(SSD):
         sd = jnp.std(patch, axis=0, keepdims=True)
         return (patch - mu) / (sd + eps)
 
-    def init(self, patch0):
-        return super(SSD, self).init(self._standardize(patch0))
-
     def _similarity(self, state, patch):
-        r = self._standardize(patch) - state.template
+        r = self._standardize(patch) - self._standardize(state.template)
         return -0.5 * jnp.sum(r * r)
 
     def dist_feat(self, patch):

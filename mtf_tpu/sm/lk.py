@@ -1,0 +1,337 @@
+"""Lucas-Kanade search-method family: FCLK, ICLK, ESM, AESM, FALK, IALK, FCSD.
+
+TPU-native re-design of the reference gradient-descent SMs
+(`/root/reference/SM/src/NT/{FCLK,ICLK,ESM,AESM,FALK,IALK,FCSD}.cc`,
+~2 kLoC each family member; hot loop documented in SURVEY.md §3.2).
+
+One shared machinery replaces them all:
+  * the candidate patch is a *pure differentiable function* of the update
+    vector q = [dp_ssm, dp_am]: warp (generator algebra, no from_matrix in
+    the differentiation path) -> sample (custom-JVP interp) -> ILM;
+  * jacfwd of that function gives the augmented pixel Jacobian the
+    reference hand-chains per SSM (Homography.cc:157-359), for every AM x
+    SSM x ILM combination;
+  * Hessian flavors (InitialSelf / CurrentSelf / Std / full second-order)
+    are AD contractions chosen by `SMParams.hess_type`;
+  * the iteration is a `lax.while_loop` with optional Levenberg-Marquardt
+    accept/reject damping (NT/FCLK.cc:193-217) as jit-friendly lax.cond.
+
+The whole update compiles to one XLA computation: gathers + (N,Q) matmuls
++ a QxQ solve, batched/vmappable for grids, particles and tracker fleets.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from mtf_tpu.am.base import AMState
+from mtf_tpu.ops import interp
+from mtf_tpu.ops import warp as W
+from mtf_tpu.sm.core import SearchMethod, TrackerState
+
+Array = jax.Array
+
+
+class LKCache(NamedTuple):
+    """Per-tracker cached init quantities (ICLK/ESM hoisting,
+    NT/ICLK.cc:initialize)."""
+    J0: Array       # (NC, S) template pixel Jacobian at identity
+    H0: Array       # (Q, Q) initial self Hessian
+
+
+class _LKCarry(NamedTuple):
+    ssm_state: Array
+    p_am: Array
+    it: Array
+    done: Array
+    lm_delta: Array
+    f_prev: Array
+
+
+class LKBase(SearchMethod):
+    """Shared LK machinery; subclasses pick Jacobian source + update rule."""
+
+    compositional = True    # False -> additive (FALK/IALK)
+    inverse = False         # True -> template-side Jacobian, inverted update
+    use_esm_jac = False     # True -> mean of init+curr Jacobians
+
+    # -- patch-as-function-of-update ---------------------------------
+    def _patch_fn(self, region, ssm_state, p_am, frame):
+        """Returns q -> illumination-corrected patch (N, C),
+        q = [dp_ssm, dp_am]. The warp Jacobian at q=0 equals the
+        generator-basis chain the reference uses (SURVEY.md §3.2)."""
+        am, ssm, prm = self.am, self.ssm, self.prm
+        S = ssm.dof
+        Ms = ssm.to_matrix(ssm_state)
+
+        def fn(q):
+            dp, dpam = q[:S], q[S:]
+            if self.compositional:
+                M = Ms @ ssm.to_matrix(dp)
+            else:
+                M = ssm.to_matrix(ssm_state + dp)
+            pts_t = W.apply_warp(M, region.base_pts)
+            pts = W.apply_warp(region.norm_mat, pts_t)
+            patch = interp.sample(frame, pts, prm.interp, prm.border)
+            return am.ilm.apply(patch, p_am + dpam)
+
+        return fn
+
+    def _template_patch_fn(self, region, frame):
+        """q -> template-side patch on the *init* frame (ICLK/ESM J0)."""
+        am, ssm, prm = self.am, self.ssm, self.prm
+        S = ssm.dof
+
+        def fn(q):
+            dp = q[:S]
+            M = ssm.to_matrix(dp)
+            pts_t = W.apply_warp(M, region.base_pts)
+            pts = W.apply_warp(region.norm_mat, pts_t)
+            return interp.sample(frame, pts, prm.interp, prm.border)
+
+        return fn
+
+    @property
+    def _q_dim(self):
+        return self.ssm.dof + self.am.ilm.n_params
+
+    def _jac(self, fn, q_dim):
+        """(NC, q_dim) Jacobian of a patch function at 0."""
+        J = jax.jacfwd(fn)(jnp.zeros((q_dim,), jnp.float32))
+        return J.reshape(-1, q_dim)
+
+    def _hess_contract(self, am_state: AMState, at_patch: Array, J: Array):
+        """J^T (d2 similarity / d corrected-patch^2) J via S hvps."""
+        shape = at_patch.shape
+        p0 = at_patch.reshape(-1)
+
+        def g(pf):
+            return self.am.grad_corrected(
+                am_state, pf.reshape(shape)).reshape(-1)
+
+        def hvp(v):
+            return jax.jvp(g, (p0,), (v,))[1]
+
+        cols = jax.vmap(hvp, in_axes=1, out_axes=1)(J)
+        return J.T @ cols
+
+    # -- init ----------------------------------------------------------
+    def _init_extra(self, state: TrackerState, frame: Array):
+        q_dim = self._q_dim
+        fn0 = self._template_patch_fn(state.region, frame)
+        J_full = self._jac(fn0, q_dim)  # ILM columns are zero here
+        patch0 = fn0(jnp.zeros((q_dim,), jnp.float32))
+        if self.am.ilm.n_params > 0:
+            # ILM columns at identity params on the template patch
+            S = self.ssm.dof
+            J_ilm = jax.jacfwd(
+                lambda pam: self.am.ilm.apply(patch0, pam))(
+                    self.am.ilm.identity_params()).reshape(-1, self.am.ilm.n_params)
+            J_full = J_full.at[:, S:].set(J_ilm)
+        H0 = self._hess_contract(state.am_state, patch0, J_full)
+        return LKCache(J0=J_full[:, : self.ssm.dof], H0=H0)
+
+    # -- one GN/LM iteration -------------------------------------------
+    def _iteration(self, state: TrackerState, frame: Array, carry: _LKCarry):
+        am, ssm, prm = self.am, self.ssm, self.prm
+        S, P = ssm.dof, am.ilm.n_params
+        q_dim = S + P
+        st0 = state.am_state._replace(p_am=carry.p_am)
+        cache: LKCache = state.extra
+
+        fn = self._patch_fn(state.region, carry.ssm_state, carry.p_am, frame)
+        patch = fn(jnp.zeros((q_dim,), jnp.float32))
+
+        J = self._jac(fn, q_dim)  # (NC, Q) current-side
+
+        if self.inverse:
+            # template-side gradient contracted with cached J0 (ICLK)
+            g0 = am.grad_template(st0, patch).reshape(-1)
+            j_ssm = g0 @ cache.J0
+            if P > 0:
+                gI = am.grad_corrected(st0, patch).reshape(-1)
+                j = jnp.concatenate([j_ssm, gI @ J[:, S:]])
+            else:
+                j = j_ssm
+            J_h = jnp.concatenate(
+                [cache.J0, J[:, S:]], axis=1) if P > 0 else cache.J0
+        elif self.use_esm_jac:
+            J_esm = J.at[:, :S].set(0.5 * (J[:, :S] + cache.J0))
+            gI = am.grad_corrected(st0, patch).reshape(-1)
+            if prm.jac_type == "diff_of_jacs":
+                g0 = am.grad_template(st0, patch).reshape(-1)
+                j_ssm = 0.5 * (gI @ J[:, :S] + g0 @ cache.J0)
+                j = jnp.concatenate([j_ssm, gI @ J[:, S:]]) if P > 0 else j_ssm
+            else:
+                j = gI @ J_esm
+            J_h = J_esm
+        else:
+            gI = am.grad_corrected(st0, patch).reshape(-1)
+            j = gI @ J
+            J_h = J
+
+        # Hessian flavor (ESMParams.h:13-18 analog)
+        if prm.hess_type == "self0":
+            H = cache.H0
+        elif prm.hess_type == "selft":
+            st_self = am.self_state(patch, carry.p_am)
+            H = self._hess_contract(st_self, patch, J_h)
+        elif prm.hess_type == "std":
+            H = self._hess_contract(st0, patch, J_h)
+        elif prm.hess_type == "std2":
+            E = lambda q: am.f_corrected(st0, fn(q))
+            H = jax.hessian(E)(jnp.zeros((q_dim,), jnp.float32))
+        else:
+            raise ValueError(f"unknown hess_type {prm.hess_type!r}")
+
+        # LM damping: H is negative-definite at a maximum; damping pushes the
+        # diagonal further negative (NT/FCLK.cc:290-296 analog)
+        damp = carry.lm_delta if prm.enable_lm else 0.0
+        Hd = H - damp * jnp.diag(jnp.abs(jnp.diag(H))) \
+               - 1e-7 * jnp.eye(q_dim, dtype=H.dtype)
+        dq = -jnp.linalg.solve(Hd, j)
+        return dq, patch, j
+
+    def _apply_dq(self, ssm_state, p_am, dq):
+        S = self.ssm.dof
+        dp, dpam = dq[:S], dq[S:]
+        if self.inverse:
+            new_ssm = self.ssm.inverse_compositional_update(ssm_state, dp)
+        elif self.compositional:
+            new_ssm = self.ssm.compositional_update(ssm_state, dp)
+        else:
+            new_ssm = ssm_state + (-dp if self.inverse else dp)
+        return new_ssm, p_am + dpam
+
+    # -- full update ----------------------------------------------------
+    def _update(self, state: TrackerState, frame: Array) -> TrackerState:
+        am, ssm, prm = self.am, self.ssm, self.prm
+        q_dim = self._q_dim
+
+        def corners_of(s):
+            c_t = ssm.warp_pts(s, state.region.base_corners)
+            return W.apply_warp(state.region.norm_mat, c_t)
+
+        def f_of(s, pam):
+            fn = self._patch_fn(state.region, s, pam, frame)
+            return am.f_corrected(
+                state.am_state._replace(p_am=pam),
+                fn(jnp.zeros((q_dim,), jnp.float32)))
+
+        def cond(c: _LKCarry):
+            return jnp.logical_and(c.it < prm.max_iters,
+                                   jnp.logical_not(c.done))
+
+        def body(c: _LKCarry):
+            dq, patch, j = self._iteration(state, frame, c)
+            new_ssm, new_pam = self._apply_dq(c.ssm_state, c.p_am, dq)
+            corner_change = jnp.max(jnp.linalg.norm(
+                corners_of(new_ssm) - corners_of(c.ssm_state), axis=-1))
+            if prm.enable_lm:
+                f_new = f_of(new_ssm, new_pam)
+                accept = f_new >= c.f_prev
+                new_ssm = jnp.where(accept, new_ssm, c.ssm_state)
+                new_pam = jnp.where(accept, new_pam, c.p_am)
+                delta = jnp.where(accept, c.lm_delta * prm.lm_down,
+                                  c.lm_delta * prm.lm_up)
+                f_keep = jnp.where(accept, f_new, c.f_prev)
+                done = jnp.logical_and(accept, corner_change < prm.epsilon)
+                return _LKCarry(new_ssm, new_pam, c.it + 1, done,
+                                delta, f_keep)
+            done = corner_change < prm.epsilon
+            return _LKCarry(new_ssm, new_pam, c.it + 1, done,
+                            c.lm_delta, c.f_prev)
+
+        f0 = f_of(state.ssm_state, state.am_state.p_am) if prm.enable_lm \
+            else jnp.asarray(-jnp.inf, jnp.float32)
+        init = _LKCarry(state.ssm_state, state.am_state.p_am,
+                        jnp.zeros((), jnp.int32), jnp.asarray(False),
+                        jnp.asarray(prm.lm_delta0, jnp.float32),
+                        jnp.asarray(f0, jnp.float32))
+        out = jax.lax.while_loop(cond, body, init)
+
+        new_am = state.am_state._replace(p_am=out.p_am)
+        new_state = state._replace(ssm_state=out.ssm_state, am_state=new_am)
+        # online template learning (PCA etc., NT/FCLK.cc:353)
+        fn = self._patch_fn(state.region, out.ssm_state, out.p_am, frame)
+        final_patch = fn(jnp.zeros((q_dim,), jnp.float32))
+        new_am2 = am.update_model(new_am, final_patch)
+        return new_state._replace(am_state=new_am2)
+
+
+class FCLK(LKBase):
+    """Forward compositional LK (NT/FCLK.cc)."""
+    name = "fclk"
+
+
+class ICLK(LKBase):
+    """Inverse compositional LK: init Jacobian/Hessian hoisted to
+    initialize, inverse update (NT/ICLK.cc)."""
+    name = "iclk"
+    inverse = True
+
+
+class ESM(LKBase):
+    """Efficient second-order minimization: mean of init+current Jacobians
+    (NT/ESM.cc:228-230)."""
+    name = "esm"
+    use_esm_jac = True
+
+
+class AESM(ESM):
+    """Additive ESM variant (NT/AESM.cc)."""
+    name = "aesm"
+    compositional = False
+
+
+class FALK(LKBase):
+    """Forward additive LK (NT/FALK.cc)."""
+    name = "falk"
+    compositional = False
+
+
+class IALK(LKBase):
+    """Inverse additive LK (NT/IALK.cc) — template Jacobian, additive
+    inverted update (Hager-Belhumeur style approximation)."""
+    name = "ialk"
+    compositional = False
+    inverse = True
+
+    def _apply_dq(self, ssm_state, p_am, dq):
+        S = self.ssm.dof
+        return ssm_state - dq[:S], p_am + dq[S:]
+
+
+class FCSD(LKBase):
+    """Forward compositional steepest descent with learning rate
+    (NT/FCSD.cc)."""
+    name = "fcsd"
+
+    def _iteration(self, state, frame, carry):
+        am, prm = self.am, self.prm
+        q_dim = self._q_dim
+        st0 = state.am_state._replace(p_am=carry.p_am)
+        fn = self._patch_fn(state.region, carry.ssm_state, carry.p_am, frame)
+        patch = fn(jnp.zeros((q_dim,), jnp.float32))
+        J = self._jac(fn, q_dim)
+        gI = am.grad_corrected(st0, patch).reshape(-1)
+        j = gI @ J
+        dq = prm.sd_learning_rate * j  # ascend
+        return dq, patch, j
+
+
+SM_LK_REGISTRY = {
+    "fclk": FCLK, "fc": FCLK,
+    "iclk": ICLK, "ic": ICLK,
+    "esm": ESM, "aesm": AESM,
+    "falk": FALK, "fa": FALK,
+    "ialk": IALK, "ia": IALK,
+    "fcsd": FCSD,
+    # Levenberg-Marquardt variants (reference eslm/fclm/iclm/falm/ialm keys)
+    "eslm": ESM, "esl": ESM, "fclm": FCLK, "iclm": ICLK,
+    "falm": FALK, "ialm": IALK,
+}
+
+LM_KEYS = {"eslm", "esl", "fclm", "iclm", "falm", "ialm"}
