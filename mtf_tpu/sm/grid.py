@@ -1,0 +1,174 @@
+"""Grid tracker: a lattice of tiny translation trackers fused by a robust
+warp fit.
+
+TPU-native re-design of the reference GridTracker family
+(`/root/reference/SM/src/GridTracker.cc` 424, `GridTrackerCV.cc`,
+`GridTrackerFlow.cc`; SURVEY.md §3.5). Where the reference updates P
+independent sub-trackers in a TBB parallel-for (GridTracker.cc:247-261),
+here all P patches are *one batched LK solve* (vmapped gather + 2x2
+closed-form solves), and the robust SSM fusion (GridTracker.cc:269 ->
+SSMEstimator) is the batched RANSAC/LMedS of `ops.ransac`.
+
+Sub-tracker drift is reset each frame by re-projecting patch centers
+through the fitted warp (the reference's reset-to-SSM policy), and an
+optional forward-backward consistency mask (GridTracker.cc:186-188,294)
+downweights unreliable patches in the fit.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from mtf_tpu.ops import interp
+from mtf_tpu.ops import ransac
+from mtf_tpu.ops import warp as W
+from mtf_tpu.sm.core import SearchMethod, TrackerState
+
+Array = jax.Array
+
+
+@dataclass(frozen=True)
+class GridParams:
+    """Reference GridTrackerParams analog."""
+    grid_res: int = 10          # grid_res x grid_res patch centers
+    patch_res: int = 8          # sub-patch sampling resolution
+    patch_scale: float = 1.0    # sub-patch half-size in center-spacing units
+    sub_iters: int = 10         # LK iterations per sub-tracker
+    estimator: str = "ransac"   # ransac | lmeds | lsq (SSMEstimatorParams)
+    n_hyps: int = 64
+    inlier_thresh_px: float = 2.0   # image-pixel inlier threshold
+    fb_err_px: float = -1.0     # forward-backward mask threshold (<0 = off)
+    zncc: bool = True           # standardize patches (illumination robust)
+    seed: int = 0
+
+
+class GridState(NamedTuple):
+    templates: Array      # (P, n, C) sub-patch templates
+    offsets: Array        # (n, 2) template-frame offsets around each center
+    centers0: Array       # (P, 2) template-frame patch centers
+    key: Array
+    inlier_mask: Array    # (P,) last-fit inlier weights (RKLT SPI feed)
+    prev_frame: Array | None  # for fb masking (None disables)
+
+
+def _standardize(p, eps=1e-6):
+    mu = jnp.mean(p, axis=-2, keepdims=True)
+    sd = jnp.std(p, axis=-2, keepdims=True)
+    return (p - mu) / (sd + eps)
+
+
+class GridTracker(SearchMethod):
+    """`SearchMethod` interface; `am` is unused (SSD/ZNCC distance built in,
+    matching GridTrackerFlow's NCC/SSD flow options)."""
+
+    name = "grid"
+
+    def __init__(self, am, ssm, prm=None, grid: GridParams | None = None):
+        super().__init__(am, ssm, prm)
+        self.grid = grid or GridParams()
+
+    # -- batched translation LK over all patches -----------------------
+    def _track_patches(self, frame, norm_mat, centers_t, offsets, templates,
+                       n_iters):
+        """centers_t: (P,2) template-frame centers; returns updated centers.
+        One fused computation: (P, n) gathers + closed-form 2x2 solves."""
+        g = self.grid
+
+        def patch_at(center, disp):
+            pts_t = center[None, :] + offsets + disp[None, :]
+            pts = W.apply_warp(norm_mat, pts_t)
+            return interp.sample(frame, pts, self.prm.interp, self.prm.border)
+
+        def one_patch(center, template):
+            def body(_, disp):
+                pts_t = center[None, :] + offsets + disp[None, :]
+                pts = W.apply_warp(norm_mat, pts_t)
+                patch = interp.sample(frame, pts, self.prm.interp,
+                                      self.prm.border)
+                grad = interp.sample_grad(frame, pts, self.prm.interp,
+                                          self.prm.border)  # (n, C, 2)
+                if g.zncc:
+                    patch = _standardize(patch)
+                r = (patch - template).reshape(-1)          # (n*C,)
+                J = grad.reshape(-1, 2)                      # (n*C, 2)
+                # scale J to template-frame units via the norm scale
+                scale = norm_mat[0, 0]
+                J = J * scale
+                H = J.T @ J + 1e-6 * jnp.eye(2)
+                d = jnp.linalg.solve(H, J.T @ r)
+                return disp - d
+
+            disp = jax.lax.fori_loop(0, n_iters, body,
+                                     jnp.zeros(2, jnp.float32))
+            return center + disp
+
+        return jax.vmap(one_patch)(centers_t, templates)
+
+    # -- SearchMethod hooks ---------------------------------------------
+    def _init_extra(self, state: TrackerState, frame: Array):
+        g = self.grid
+        region = state.region
+        # patch centers: uniform grid strictly inside the template square
+        r = jnp.linspace(-0.5, 0.5, g.grid_res + 2)[1:-1]
+        cx, cy = jnp.meshgrid(r, r)
+        centers0 = jnp.stack([cx.ravel(), cy.ravel()], axis=-1)
+        # warp unit-square centers through the region's base corners frame:
+        # base_corners is ~ the centered unit square, so centers0 applies
+        H = W.homography_from_unit_square(region.base_corners)
+        centers0 = W.apply_warp(H, centers0)
+        spacing = 1.0 / (g.grid_res + 1)
+        half = g.patch_scale * spacing
+        o = jnp.linspace(-half, half, g.patch_res)
+        ox, oy = jnp.meshgrid(o, o)
+        offsets = jnp.stack([ox.ravel(), oy.ravel()], axis=-1)
+
+        def template_of(c):
+            pts = W.apply_warp(region.norm_mat, c[None, :] + offsets)
+            p = interp.sample(frame, pts, self.prm.interp, self.prm.border)
+            return _standardize(p) if g.zncc else p
+
+        templates = jax.vmap(template_of)(centers0)
+        P = centers0.shape[0]
+        return GridState(
+            templates=templates, offsets=offsets, centers0=centers0,
+            key=jax.random.PRNGKey(g.seed),
+            inlier_mask=jnp.ones((P,), jnp.float32),
+            prev_frame=frame if g.fb_err_px > 0 else None)
+
+    def _update(self, state: TrackerState, frame: Array) -> TrackerState:
+        g, ssm = self.grid, self.ssm
+        gs: GridState = state.extra
+        region = state.region
+        key, k_fit = jax.random.split(gs.key)
+
+        # predict centers through current warp (reset-to-SSM policy)
+        centers_pred = ssm.warp_pts(state.ssm_state, gs.centers0)
+        centers_new = self._track_patches(
+            frame, region.norm_mat, centers_pred, gs.offsets, gs.templates,
+            g.sub_iters)
+
+        weights = None
+        if g.fb_err_px > 0 and gs.prev_frame is not None:
+            # track back on the previous frame; large round-trip = occlusion
+            centers_back = self._track_patches(
+                gs.prev_frame, region.norm_mat, centers_new, gs.offsets,
+                gs.templates, g.sub_iters)
+            scale = region.norm_mat[0, 0]
+            fb = jnp.linalg.norm(centers_back - centers_pred, axis=-1) * scale
+            weights = (fb < g.fb_err_px).astype(jnp.float32)
+            weights = jnp.where(jnp.sum(weights) >= ransac.min_sample_size(ssm),
+                                weights, jnp.ones_like(weights))
+
+        scale = region.norm_mat[0, 0]
+        new_ssm, inl = ransac.robust_fit(
+            ssm, gs.centers0, centers_new, k_fit, method=g.estimator,
+            n_hyps=g.n_hyps, inlier_thresh=g.inlier_thresh_px / scale,
+            weights=weights)
+
+        new_extra = gs._replace(
+            key=key, inlier_mask=inl,
+            prev_frame=frame if g.fb_err_px > 0 else None)
+        return state._replace(ssm_state=new_ssm, extra=new_extra)

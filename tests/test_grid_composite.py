@@ -1,0 +1,141 @@
+"""Grid tracker, RANSAC, and composite SM tests."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mtf_tpu.am import AMParams, get_am
+from mtf_tpu.ops import ransac
+from mtf_tpu.sm.composite import RKLT, CascadeSM, ParallelSM, PyramidalSM
+from mtf_tpu.sm.core import SMParams
+from mtf_tpu.sm.grid import GridParams, GridTracker
+from mtf_tpu.sm.lk import ESM, FCLK, ICLK
+from mtf_tpu.ssm import get_ssm
+from mtf_tpu.utils.synth import mean_corner_distance, synthetic_sequence
+
+CORNERS0 = np.array([[50.0, 40.0], [120.0, 40.0], [120.0, 105.0], [50.0, 105.0]],
+                    np.float32)
+
+
+@pytest.fixture(scope="module")
+def base_image():
+    rng = np.random.default_rng(0)
+    from scipy.ndimage import gaussian_filter
+    img = gaussian_filter(rng.standard_normal((180, 220)), 2.0)
+    img = (img - img.min()) / (img.max() - img.min())
+    return jnp.asarray((img * 255.0).astype(np.float32))
+
+
+def run(sm, frames, gt):
+    state = sm.initialize(frames[0], jnp.asarray(gt[0]))
+    update = jax.jit(sm.update)
+    errs = []
+    for t in range(1, len(frames)):
+        state = update(state, frames[t])
+        errs.append(mean_corner_distance(np.asarray(sm.corners(state)).T, gt[t]))
+    return errs, state
+
+
+def test_ransac_rejects_outliers(rng):
+    ssm = get_ssm("hom")
+    s_true = jnp.asarray(rng.normal(0, 0.05, 8), jnp.float32)
+    src = jnp.asarray(rng.uniform(-1, 1, (60, 2)), jnp.float32)
+    dst = ssm.warp_pts(s_true, src)
+    dst = dst.at[:15].add(jnp.asarray(rng.normal(0, 0.5, (15, 2)), jnp.float32))
+    key = jax.random.PRNGKey(0)
+    fit, w = ransac.ransac_fit(ssm, src, dst, key, n_hyps=128,
+                               inlier_thresh=0.02)
+    err = float(jnp.max(jnp.abs(ssm.warp_pts(fit, src[20:]) - dst[20:])))
+    assert err < 0.01, err
+    assert float(jnp.sum(w[:15])) < 5  # outliers excluded
+
+    fit2, _ = ransac.lmeds_fit(ssm, src, dst, key, n_hyps=128)
+    err2 = float(jnp.max(jnp.abs(ssm.warp_pts(fit2, src[20:]) - dst[20:])))
+    assert err2 < 0.02, err2
+
+
+def test_grid_tracker_homography(base_image):
+    ssm_gen = get_ssm("hom")
+    frames, gt = synthetic_sequence(base_image, jnp.asarray(CORNERS0),
+                                    ssm_gen, n_frames=5, sigma_scale=0.01,
+                                    seed=21)
+    am = get_am("ssd", AMParams(resx=8, resy=8))
+    sm = GridTracker(am, get_ssm("hom"),
+                     grid=GridParams(grid_res=8, patch_res=8, sub_iters=8))
+    errs, state = run(sm, frames, gt)
+    assert max(errs) < 3.0, f"errors {errs}"
+    assert state.extra.inlier_mask.shape == (64,)
+
+
+def test_grid_tracker_fb_masking(base_image):
+    ssm_gen = get_ssm("sim")
+    frames, gt = synthetic_sequence(base_image, jnp.asarray(CORNERS0),
+                                    ssm_gen, n_frames=4, sigma_scale=0.015,
+                                    seed=22)
+    am = get_am("ssd", AMParams(resx=8, resy=8))
+    sm = GridTracker(am, get_ssm("sim"),
+                     grid=GridParams(grid_res=6, patch_res=8, sub_iters=8,
+                                     fb_err_px=3.0))
+    errs, _ = run(sm, frames, gt)
+    assert max(errs) < 3.0, f"errors {errs}"
+
+
+def test_pyramidal_large_motion(base_image):
+    # motion too large for plain FCLK at fine scale
+    ssm_gen = get_ssm("trans")
+    frames, gt = synthetic_sequence(base_image, jnp.asarray(CORNERS0),
+                                    ssm_gen, n_frames=4, sigma_scale=0.12,
+                                    seed=23)
+    am = get_am("ncc", AMParams(resx=20, resy=20))
+    plain = FCLK(am, get_ssm("trans"), SMParams(max_iters=30))
+    pyr = PyramidalSM(FCLK(am, get_ssm("trans"), SMParams(max_iters=30)),
+                      n_levels=3)
+    errs_plain, _ = run(plain, frames, gt)
+    errs_pyr, _ = run(pyr, frames, gt)
+    assert max(errs_pyr) < 1.0, f"pyr errors {errs_pyr}"
+    assert max(errs_pyr) <= max(errs_plain) + 1e-6
+
+
+def test_cascade_nn_then_iclk(base_image):
+    from mtf_tpu.sm.nn import NN, NNParams
+    ssm_gen = get_ssm("trans")
+    frames, gt = synthetic_sequence(base_image, jnp.asarray(CORNERS0),
+                                    ssm_gen, n_frames=5, sigma_scale=0.05,
+                                    seed=24)
+    am_prm = AMParams(resx=20, resy=20)
+    nn = NN(get_am("zncc", am_prm), get_ssm("trans"),
+            nn=NNParams(n_samples=500, pix_sigma=8.0, max_iters=2))
+    ic = ICLK(get_am("ssd", am_prm), get_ssm("trans"), SMParams(max_iters=20))
+    sm = CascadeSM([nn, ic])
+    errs, _ = run(sm, frames, gt)
+    assert max(errs) < 0.8, f"errors {errs}"
+
+
+def test_parallel_fusion(base_image):
+    ssm_gen = get_ssm("trans")
+    frames, gt = synthetic_sequence(base_image, jnp.asarray(CORNERS0),
+                                    ssm_gen, n_frames=4, sigma_scale=0.03,
+                                    seed=25)
+    am_prm = AMParams(resx=20, resy=20)
+    sm = ParallelSM([
+        FCLK(get_am("ssd", am_prm), get_ssm("trans"), SMParams(max_iters=25)),
+        FCLK(get_am("ncc", am_prm), get_ssm("trans"), SMParams(max_iters=25)),
+    ])
+    errs, _ = run(sm, frames, gt)
+    assert max(errs) < 0.8, f"errors {errs}"
+
+
+def test_rklt_sota_config(base_image):
+    """The reference's claimed SOTA: grid + ESM/NCC homography refiner
+    (ReadMe.md:432)."""
+    ssm_gen = get_ssm("hom")
+    frames, gt = synthetic_sequence(base_image, jnp.asarray(CORNERS0),
+                                    ssm_gen, n_frames=6, sigma_scale=0.012,
+                                    seed=26)
+    grid = GridTracker(get_am("ssd", AMParams(resx=8, resy=8)), get_ssm("hom"),
+                       grid=GridParams(grid_res=8, patch_res=8, sub_iters=8))
+    templ = ESM(get_am("ncc", AMParams(resx=25, resy=25)), get_ssm("hom"),
+                SMParams(max_iters=30, hess_type="selft", enable_lm=True))
+    sm = RKLT(grid, templ)
+    errs, _ = run(sm, frames, gt)
+    assert max(errs) < 1.0, f"errors {errs}"
