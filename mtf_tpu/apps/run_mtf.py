@@ -1,0 +1,168 @@
+"""Evaluation harness CLI — the `runMTF` analog.
+
+Re-designs `/root/reference/Examples/cpp/runMTF.cc` (821 LoC; call stack
+SURVEY.md §3.1): build tracker from string keys + params, stream frames,
+track, compute per-frame error vs GT (MCD/CL/Jaccard), apply the
+reinit-on-failure protocol, report FPS and success-rate curves, and write
+the reference's artifact formats (corners .txt, .err, .sr,
+log/tracking_stats.txt).
+
+Usage:
+    python -m mtf_tpu.apps.run_mtf --seq <frame-dir> --gt <gt.txt> \
+        sm fclk am ssd ssm 8 max_iters 30
+    python -m mtf_tpu.apps.run_mtf --synthetic --n_frames 50 sm esm am ncc
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def build_argparser():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--seq", help="frame directory or video file")
+    p.add_argument("--gt", help="ground-truth corners file")
+    p.add_argument("--synthetic", action="store_true",
+                   help="run on a generated synthetic sequence")
+    p.add_argument("--n_frames", type=int, default=50)
+    p.add_argument("--config_dir", help="directory of .cfg files")
+    p.add_argument("--preproc", default="none")
+    p.add_argument("--err_metric", default="mcd",
+                   choices=["mcd", "cl", "jaccard"])
+    p.add_argument("--reinit_on_failure", action="store_true")
+    p.add_argument("--reinit_err_thresh", type=float, default=20.0)
+    p.add_argument("--reinit_frame_skip", type=int, default=5)
+    p.add_argument("--out_dir", default="log")
+    p.add_argument("--platform", default=None,
+                   help="jax platform override (cpu/axon)")
+    p.add_argument("--write_outputs", action="store_true")
+    return p
+
+
+def main(argv=None):
+    args, extra = build_argparser().parse_known_args(argv)
+
+    import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    import jax.numpy as jnp
+
+    from mtf_tpu import create_tracker
+    from mtf_tpu.utils import gt as gtio
+    from mtf_tpu.utils import metrics
+    from mtf_tpu.utils.config import read_params
+    from mtf_tpu.utils.preproc import get_preproc
+
+    cfg = read_params(args.config_dir, extra)
+    sm = str(cfg.pop("sm", "fclk"))
+    am = str(cfg.pop("am", "ssd"))
+    ssm = str(cfg.pop("ssm", "8"))
+    ilm = cfg.pop("ilm", None)
+    ilm = None if ilm in (None, "0", 0, "none") else str(ilm)
+
+    preproc = get_preproc(args.preproc)
+
+    # ---- input + GT -------------------------------------------------
+    if args.synthetic:
+        from mtf_tpu.ssm import get_ssm as _get_ssm
+        from mtf_tpu.utils.synth import synthetic_sequence
+        rng = np.random.default_rng(int(cfg.get("seed", 0)))
+        try:
+            from scipy.ndimage import gaussian_filter as _gf
+            img = _gf(rng.standard_normal((240, 320)), 3.0)
+        except ImportError:
+            img = rng.standard_normal((240, 320))
+        img = (img - img.min()) / (img.max() - img.min()) * 255.0
+        corners0 = np.array([[110.0, 70.0], [210.0, 70.0],
+                             [210.0, 170.0], [110.0, 170.0]], np.float32)
+        gen_ssm = _get_ssm(str(cfg.get("syn_ssm", ssm)))
+        frames, gt_corners = synthetic_sequence(
+            jnp.asarray(img, jnp.float32), jnp.asarray(corners0), gen_ssm,
+            n_frames=args.n_frames,
+            sigma_scale=float(cfg.get("syn_sigma", 0.02)),
+            seed=int(cfg.get("seed", 0)))
+        frames = [frames[i] for i in range(frames.shape[0])]
+        seq_name = "synthetic"
+    else:
+        from mtf_tpu.utils.input import get_input
+        inp = get_input(args.seq)
+        frames = (preproc(jnp.asarray(f, jnp.float32)) for f in inp)
+        frames = [f for f in frames]
+        gt_corners = gtio.read_corners_file(args.gt) if args.gt else None
+        seq_name = os.path.basename(os.path.normpath(args.seq))
+
+    tracker = create_tracker(sm, am, ssm, ilm, **cfg)
+
+    # ---- main loop (runMTF.cc:460-731) ------------------------------
+    init_corners = (jnp.asarray(gt_corners[0]) if gt_corners is not None
+                    else None)
+    if init_corners is None:
+        raise SystemExit("no GT: interactive selection not available in CLI")
+
+    state = tracker.initialize(frames[0], init_corners)
+    update = jax.jit(tracker.update)
+    # warm-up compile on frame 0 (excluded from FPS)
+    state_w = update(state, frames[0])
+    jax.block_until_ready(jax.tree_util.tree_leaves(state_w)[0])
+
+    err_fn = metrics.ERROR_FNS[args.err_metric]
+    errors, tracked = [], []
+    n_failures = 0
+    skip_until = -1
+    t0 = time.perf_counter()
+    for t in range(1, len(frames)):
+        if t <= skip_until:
+            errors.append(np.nan)
+            tracked.append(np.asarray(tracker.corners(state)).T)
+            continue
+        state = update(state, frames[t])
+        corners = np.asarray(tracker.corners(state)).T  # (4, 2)
+        if gt_corners is not None and t < len(gt_corners):
+            err = err_fn(gt_corners[t], corners)
+            invalid = not np.all(np.isfinite(corners))
+            if args.reinit_on_failure and (
+                    invalid or err > args.reinit_err_thresh):
+                n_failures += 1
+                skip_until = t + args.reinit_frame_skip
+                reinit_t = min(skip_until, len(frames) - 1,
+                               len(gt_corners) - 1)
+                state = tracker.initialize(frames[reinit_t],
+                                           jnp.asarray(gt_corners[reinit_t]))
+                errors.append(np.nan)
+                tracked.append(corners)
+                continue
+            errors.append(err)
+        tracked.append(corners)
+    jax.block_until_ready(jax.tree_util.tree_leaves(state)[0])
+    dt = time.perf_counter() - t0
+
+    n_tracked = len(frames) - 1
+    fps = n_tracked / dt
+    errs = np.asarray([e for e in errors if np.isfinite(e)])
+    avg_err = float(errs.mean()) if errs.size else float("nan")
+    _, sr, mean_sr = metrics.success_rate_curve(errs) if errs.size else \
+        (None, None, float("nan"))
+
+    summary = (f"{seq_name} {sm}/{am}/{ssm} frames={n_tracked} "
+               f"fps={fps:.1f} avg_{args.err_metric}={avg_err:.3f} "
+               f"mean_sr={mean_sr:.3f} failures={n_failures}")
+    print(summary)
+
+    if args.write_outputs:
+        base = os.path.join(args.out_dir, f"{seq_name}_{sm}_{am}_{ssm}")
+        gtio.write_corners_file(base + ".txt", np.stack(tracked))
+        gtio.write_errors_file(base + ".err", errors)
+        if errs.size:
+            th, sr_curve, _ = metrics.success_rate_curve(errs)
+            gtio.write_sr_file(base + ".sr", th, sr_curve)
+        gtio.append_tracking_stats(
+            os.path.join(args.out_dir, "tracking_stats.txt"), summary)
+    return fps, avg_err
+
+
+if __name__ == "__main__":
+    main()

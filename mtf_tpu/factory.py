@@ -1,0 +1,191 @@
+"""Tracker factory: reference-compatible string keys -> tracker objects.
+
+Re-designs the reference registry (`/root/reference/include/mtf/mtf.h`,
+2191 lines: getTracker mtf.h:929, getSM :1282, getAM :1191, getSSM :1066,
+getILM :1102) as a small table-driven factory. The C++ templated-vs-NT
+duplication disappears: jit specialization plays the role of compile-time
+binding (SURVEY.md §1).
+
+Key surface reproduced (Appendix A of SURVEY.md): LK family incl. LM
+variants, pf/pf100..pf5k, nn/nn1k..nn100k + gnn alias, grid + estimator
+variants (lms/ransac), rklt, casc/prl/pyr composites and the two-letter
+cascade shorthands (pfic, pffc, pfes, nnic, nnfc, nnes, pfrk).
+"""
+from __future__ import annotations
+
+from dataclasses import replace
+from typing import Any
+
+from mtf_tpu.am import AMParams, get_am
+from mtf_tpu.sm.composite import RKLT, CascadeSM, ParallelSM, PyramidalSM, RKLTParams
+from mtf_tpu.sm.core import SMParams
+from mtf_tpu.sm.grid import GridParams, GridTracker
+from mtf_tpu.sm.lk import LM_KEYS, SM_LK_REGISTRY
+from mtf_tpu.sm.nn import NN, NNParams
+from mtf_tpu.sm.pf import PF, PFParams
+from mtf_tpu.ssm import get_ssm
+
+
+def _sm_params(cfg: dict) -> SMParams:
+    return SMParams(
+        max_iters=int(cfg.get("max_iters", 30)),
+        epsilon=float(cfg.get("epsilon", 0.01)),
+        interp=str(cfg.get("interp", "linear")),
+        border=str(cfg.get("border", "replicate")),
+        hess_type=str(cfg.get("hess_type", "selft")),
+        jac_type=str(cfg.get("jac_type", "original")),
+        enable_lm=bool(cfg.get("enable_lm", False)),
+        sd_learning_rate=float(cfg.get("sd_learning_rate", 0.1)),
+    )
+
+
+def _am_params(cfg: dict) -> AMParams:
+    return AMParams(
+        resx=int(cfg.get("resx", cfg.get("mtf_res", 50))),
+        resy=int(cfg.get("resy", cfg.get("mtf_res", 50))),
+        likelihood_alpha=float(cfg.get("likelihood_alpha", 50.0)),
+        n_bins=int(cfg.get("n_bins", 8)),
+        learning_rate=float(cfg.get("learning_rate", 0.0)),
+        extra=dict(cfg.get("am_extra", {})),
+    )
+
+
+def _pf_params(cfg: dict, n_particles: int | None = None) -> PFParams:
+    return PFParams(
+        n_particles=int(n_particles or cfg.get("pf_n_particles", 200)),
+        dynamic_model=str(cfg.get("pf_dynamic_model", "rw")),
+        update_type=str(cfg.get("pf_update_type", "compositional")),
+        likelihood=str(cfg.get("pf_likelihood", "gaussian")),
+        resampling=str(cfg.get("pf_resampling", "systematic")),
+        mean_type=str(cfg.get("pf_mean_type", "weighted")),
+        pix_sigma=float(cfg.get("pf_pix_sigma", 3.0)),
+        ssm_sigma=tuple(cfg.get("pf_ssm_sigma", ())),
+        measurement_sigma=float(cfg.get("pf_measurement_sigma", 0.1)),
+        seed=int(cfg.get("seed", 0)),
+    )
+
+
+def _nn_params(cfg: dict, n_samples: int | None = None) -> NNParams:
+    return NNParams(
+        n_samples=int(n_samples or cfg.get("nn_n_samples", 1000)),
+        max_iters=int(cfg.get("nn_max_iters", 3)),
+        pix_sigma=float(cfg.get("nn_pix_sigma", 4.0)),
+        ssm_sigma=tuple(cfg.get("nn_ssm_sigma", ())),
+        seed=int(cfg.get("seed", 0)),
+    )
+
+
+def _grid_params(cfg: dict, estimator: str | None = None) -> GridParams:
+    return GridParams(
+        grid_res=int(cfg.get("grid_res", 10)),
+        patch_res=int(cfg.get("grid_patch_res", 8)),
+        sub_iters=int(cfg.get("grid_sub_iters", 10)),
+        estimator=str(estimator or cfg.get("grid_estimator", "ransac")),
+        n_hyps=int(cfg.get("grid_n_hyps", 64)),
+        inlier_thresh_px=float(cfg.get("grid_inlier_thresh", 2.0)),
+        fb_err_px=float(cfg.get("grid_fb_err", -1.0)),
+        seed=int(cfg.get("seed", 0)),
+    )
+
+
+# cascade shorthands: <first><second> (mtf.h:344-478 composite registry)
+_CASCADE_SHORTHAND = {
+    "pfic": ("pf", "iclk"), "pffc": ("pf", "fclk"), "pfes": ("pf", "esm"),
+    "nnic": ("nn", "iclk"), "nnfc": ("nn", "fclk"), "nnes": ("nn", "esm"),
+    "pfrk": ("pf", "rklt"),
+    "gric": ("grid", "iclk"), "grfc": ("grid", "fclk"), "gres": ("grid", "esm"),
+}
+
+
+def create_tracker(sm: str = "fclk", am: str = "ssd", ssm: str = "8",
+                   ilm: str | None = None, **cfg: Any):
+    """Reference `mtf::getTracker(sm, am, ssm, ilm)` analog (mtf.h:929).
+
+    cfg keys use reference-style parameter names (resx/resy, max_iters,
+    pf_n_particles, nn_n_samples, grid_res, ...).
+    """
+    sm_key = sm.lower()
+    prm = _sm_params(cfg)
+    am_prm = _am_params(cfg)
+
+    def make_am():
+        return get_am(am, am_prm, ilm=ilm)
+
+    def make_ssm():
+        return get_ssm(ssm)
+
+    # LK family (incl. LM variants)
+    if sm_key in SM_LK_REGISTRY:
+        if sm_key in LM_KEYS:
+            prm_lm = replace(prm, enable_lm=True)
+            return SM_LK_REGISTRY[sm_key](make_am(), make_ssm(), prm_lm)
+        return SM_LK_REGISTRY[sm_key](make_am(), make_ssm(), prm)
+
+    # particle filter + preset sizes (mtf.h:1325-1342)
+    if sm_key.startswith("pf") and sm_key not in _CASCADE_SHORTHAND:
+        n = None
+        if sm_key != "pf":
+            suffix = sm_key[2:]
+            n = {"100": 100, "250": 250, "500": 500, "1k": 1000,
+                 "2k": 2000, "5k": 5000}.get(suffix)
+            if n is None:
+                raise ValueError(f"unknown PF variant {sm!r}")
+        return PF(make_am(), make_ssm(), prm, _pf_params(cfg, n))
+
+    # nearest neighbour + preset sizes (mtf.h:654-668); gnn/fgnn/kdt/kmn
+    # keys map to the same exact brute-force search
+    if sm_key in ("gnn", "fgnn", "nnkdt", "kdt", "nnkmn", "kmn") or (
+            sm_key.startswith("nn") and sm_key not in _CASCADE_SHORTHAND):
+        n = None
+        if sm_key.startswith("nn") and sm_key not in (
+                "nn", "nnkdt", "nnkmn"):
+            suffix = sm_key[2:]
+            n = {"1k": 1000, "2k": 2000, "5k": 5000, "10k": 10000,
+                 "100k": 100000}.get(suffix)
+            if n is None:
+                raise ValueError(f"unknown NN variant {sm!r}")
+        return NN(make_am(), make_ssm(), prm, _nn_params(cfg, n))
+
+    # grid trackers + estimator variants
+    if sm_key in ("grid", "lms", "ransac", "rnsc"):
+        est = {"lms": "lmeds", "ransac": "ransac", "rnsc": "ransac",
+               "grid": None}[sm_key]
+        return GridTracker(make_am(), make_ssm(), prm, _grid_params(cfg, est))
+
+    # RKLT: grid + ESM-LM template refiner (ReadMe.md:432 SOTA config)
+    if sm_key in ("rklt", "rkl", "lmes"):
+        grid = GridTracker(get_am("ssd", replace(am_prm, resx=8, resy=8)),
+                           make_ssm(), prm, _grid_params(cfg))
+        templ_prm = replace(prm, enable_lm=True, hess_type="selft")
+        templ = SM_LK_REGISTRY["esm"](make_am(), make_ssm(), templ_prm)
+        rklt_prm = RKLTParams(
+            failure_thresh_px=float(cfg.get("rklt_failure_thresh", 15.0)),
+            enable_feedback=bool(cfg.get("rklt_feedback", True)))
+        return RKLT(grid, templ, rklt_prm)
+
+    # cascade shorthands
+    if sm_key in _CASCADE_SHORTHAND:
+        first, second = _CASCADE_SHORTHAND[sm_key]
+        return CascadeSM([create_tracker(first, am, ssm, ilm, **cfg),
+                          create_tracker(second, am, ssm, ilm, **cfg)])
+
+    # explicit composites
+    if sm_key in ("casc", "cascade"):
+        members = cfg.get("members")
+        if not members:
+            raise ValueError("casc requires members=[(sm, am, ssm), ...]")
+        return CascadeSM([create_tracker(m_sm, m_am, m_ssm, ilm, **cfg)
+                          for (m_sm, m_am, m_ssm) in members])
+    if sm_key in ("prl", "prlt", "prls", "prsm", "parallel"):
+        members = cfg.get("members")
+        if not members:
+            raise ValueError("prl requires members=[(sm, am, ssm), ...]")
+        return ParallelSM([create_tracker(m_sm, m_am, m_ssm, ilm, **cfg)
+                           for (m_sm, m_am, m_ssm) in members])
+    if sm_key in ("pyr", "pyrt", "pysm", "pyrs"):
+        base_key = str(cfg.get("pyr_sm", "fclk"))
+        n_levels = int(cfg.get("pyr_n_levels", 3))
+        return PyramidalSM(create_tracker(base_key, am, ssm, ilm, **cfg),
+                           n_levels)
+
+    raise ValueError(f"unknown SM key {sm!r}")

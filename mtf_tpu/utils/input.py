@@ -1,0 +1,114 @@
+"""Frame input pipelines.
+
+Re-designs the reference input layer
+(`/root/reference/Utilities/include/mtf/Utilities/inputUtils.h:33-330`:
+InputCV image-dir/video/camera, InputVP, InputXV, InputDummy) for a
+host-side Python world: image directories via imageio/PIL/cv2 (whichever
+is available), video via cv2 when present, synthetic/dummy sources for
+tests, with the reference's ring-buffer semantics replaced by simple
+iterator + prefetch (device feeding happens in the eval harness).
+"""
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+
+
+def _load_image(path: str) -> np.ndarray:
+    try:
+        import cv2  # type: ignore
+        img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+        if img is None:
+            raise IOError(path)
+        if img.ndim == 3:
+            img = img[..., ::-1]  # BGR -> RGB
+        return img.astype(np.float32)
+    except ImportError:
+        pass
+    try:
+        from PIL import Image  # type: ignore
+        return np.asarray(Image.open(path), np.float32)
+    except ImportError:
+        pass
+    import imageio.v2 as imageio  # type: ignore
+    return np.asarray(imageio.imread(path), np.float32)
+
+
+class InputBase:
+    """Iterator protocol over frames (reference InputBase)."""
+
+    def __iter__(self):
+        raise NotImplementedError
+
+    def __len__(self):
+        raise NotImplementedError
+
+
+class ImageDirInput(InputBase):
+    """Directory of numbered frames (reference InputCV jpeg-dir source)."""
+
+    def __init__(self, path: str, pattern: str = "*.jpg"):
+        self.files = sorted(glob.glob(os.path.join(path, pattern)))
+        if not self.files:
+            for pat in ("*.png", "*.bmp", "*.jpeg"):
+                self.files = sorted(glob.glob(os.path.join(path, pat)))
+                if self.files:
+                    break
+        if not self.files:
+            raise FileNotFoundError(f"no frames under {path}")
+
+    def __len__(self):
+        return len(self.files)
+
+    def __iter__(self):
+        for f in self.files:
+            yield _load_image(f)
+
+
+class VideoInput(InputBase):
+    """Video file via cv2 (reference InputCV video source)."""
+
+    def __init__(self, path: str):
+        import cv2  # type: ignore
+        self.path = path
+        cap = cv2.VideoCapture(path)
+        self._len = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+        cap.release()
+
+    def __len__(self):
+        return self._len
+
+    def __iter__(self):
+        import cv2  # type: ignore
+        cap = cv2.VideoCapture(self.path)
+        while True:
+            ok, frame = cap.read()
+            if not ok:
+                break
+            yield frame[..., ::-1].astype(np.float32)
+        cap.release()
+
+
+class ArrayInput(InputBase):
+    """In-memory frames (reference InputDummy, inputUtils.h:319)."""
+
+    def __init__(self, frames):
+        self.frames = frames
+
+    def __len__(self):
+        return len(self.frames)
+
+    def __iter__(self):
+        return iter(self.frames)
+
+
+def get_input(source: str, **kw) -> InputBase:
+    """Reference `getInput` (pipeline.h:35-176). source: a directory of
+    frames, a video file, or 'synthetic:<seed-image>' handled upstream."""
+    if os.path.isdir(source):
+        return ImageDirInput(source, **kw)
+    if os.path.isfile(source):
+        return VideoInput(source)
+    raise FileNotFoundError(source)

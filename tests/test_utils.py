@@ -1,0 +1,101 @@
+"""Harness-layer tests: config, GT I/O, metrics, preproc, datasets."""
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mtf_tpu.utils import metrics
+from mtf_tpu.utils.config import parse_arg_pairs, parse_cfg_text, read_params
+from mtf_tpu.utils.datasets import ACTORS, sequence_names
+from mtf_tpu.utils.gt import read_corners_file, write_corners_file
+from mtf_tpu.utils.preproc import PREPROC_REGISTRY, get_preproc
+
+
+def test_cfg_parsing():
+    cfg = parse_cfg_text("""
+# a comment
+mtf_sm fclk
+mtf_am ncc
+mtf_res 40
+epsilon 0.01
+enable_lm true
+pf_ssm_sigma 0.1,0.2,0.3
+#disabled_key 5
+""")
+    assert cfg["mtf_sm"] == "fclk"
+    assert cfg["mtf_res"] == 40
+    assert cfg["epsilon"] == 0.01
+    assert cfg["enable_lm"] is True
+    assert cfg["pf_ssm_sigma"] == [0.1, 0.2, 0.3]
+    assert "disabled_key" not in cfg
+
+
+def test_cli_pairs_and_postprocess(tmp_path):
+    (tmp_path / "mtf.cfg").write_text("mtf_sm esm\nmtf_res 30\n")
+    cfg = read_params(str(tmp_path), ["mtf_am", "mi", "resy", "25"])
+    assert cfg["sm"] == "esm" and cfg["am"] == "mi"
+    assert cfg["resx"] == 30 and cfg["resy"] == 25  # CLI wins
+
+
+def test_gt_roundtrip(tmp_path):
+    corners = np.random.default_rng(0).uniform(0, 100, (5, 4, 2)).astype(
+        np.float32)
+    path = str(tmp_path / "seq.txt")
+    write_corners_file(path, corners)
+    back = read_corners_file(path)
+    np.testing.assert_allclose(back, corners, atol=1e-3)
+    with open(path) as f:
+        assert f.readline().startswith("frame ulx uly")
+
+
+def test_metrics():
+    sq = np.array([[0, 0], [10, 0], [10, 10], [0, 10]], np.float32)
+    assert metrics.mcd_error(sq, sq) == 0.0
+    assert metrics.cl_error(sq, sq + 3.0) == pytest.approx(np.hypot(3, 3))
+    # Jaccard of identical quads = 0; half-overlap known value
+    assert metrics.jaccard_error(sq, sq) == pytest.approx(0.0, abs=1e-6)
+    shifted = sq + np.array([5.0, 0.0], np.float32)
+    # overlap 50, union 150 -> 1 - 1/3
+    assert metrics.jaccard_error(sq, shifted) == pytest.approx(2 / 3, abs=1e-6)
+    # disjoint
+    assert metrics.jaccard_error(sq, sq + 100.0) == 1.0
+
+
+def test_success_rate():
+    errs = np.array([0.5, 1.5, 25.0])
+    th, sr, mean_sr = metrics.success_rate_curve(errs, n_thresh=10)
+    assert sr[0] == 0.0 or sr[0] == pytest.approx(1 / 3)
+    assert sr[-1] == pytest.approx(2 / 3)
+    assert 0 < mean_sr < 1
+
+
+def test_preproc_registry(test_image):
+    img = jnp.asarray(test_image)
+    for key in PREPROC_REGISTRY:
+        out = get_preproc(key)(img)
+        assert out.shape[:2] == img.shape[:2], key
+        assert bool(jnp.all(jnp.isfinite(out))), key
+    rgb = jnp.stack([img] * 3, axis=-1)
+    assert get_preproc("none")(rgb).shape == img.shape
+
+
+def test_dataset_registry():
+    assert len(sequence_names("TMT")) == 109
+    assert len(sequence_names("UCSB")) == 96
+    assert sequence_names("TMT")[3] == "nl_cereal_s3"  # headline sequence
+    assert sequence_names("LinTrack") == ["mouse_pad", "phone", "towel"]
+    assert "VOT" in ACTORS and "Synthetic" in ACTORS
+    with pytest.raises(ValueError):
+        sequence_names("nope")
+
+
+def test_run_mtf_cli(tmp_path):
+    from mtf_tpu.apps.run_mtf import main
+    fps, err = main(["--synthetic", "--n_frames", "6", "--platform", "cpu",
+                     "--out_dir", str(tmp_path), "--write_outputs",
+                     "sm", "fclk", "am", "ssd", "ssm", "2",
+                     "resx", "16", "resy", "16"])
+    assert err < 0.5
+    assert os.path.exists(tmp_path / "tracking_stats.txt")
+    assert os.path.exists(tmp_path / "synthetic_fclk_ssd_2.sr")
