@@ -1,0 +1,130 @@
+"""Headline benchmark: frames/s/chip on FCLK + SSD + 8-DOF homography.
+
+North-star metric from BASELINE.md: tracker-update throughput per TPU chip
+on the reference's default template resolution (50x50, `parameters.h:153`),
+measured as a steady-state fleet of independent trackers (the TPU-honest
+framing: one chip serves many streams; cf. runMTF's single-stream FPS,
+`runMTF.cc:634-636`).
+
+`vs_baseline` divides by the reference-protocol CPU denominator: the same
+algorithm/config run single-stream on one CPU device (the reference ships
+no numbers — BASELINE.md requires producing the denominator by running the
+protocol; it is measured once here and cached in log/baseline_cpu.json).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import os
+import time
+
+import numpy as np
+
+RES = 50            # reference default resx=resy=50
+B = 64              # fleet width per chip
+WARMUP = 3
+STEPS = 20
+BASELINE_CACHE = os.path.join(os.path.dirname(__file__), "log",
+                              "baseline_cpu.json")
+
+
+def _scene(seed=0, h=480, w=640):
+    import jax.numpy as jnp
+    rng = np.random.default_rng(seed)
+    img = np.cumsum(np.cumsum(rng.normal(0, 1, (h, w)), 0), 1)
+    img = (img - img.min()) / (img.max() - img.min()) * 255.0
+    return jnp.asarray(img, jnp.float32)
+
+
+def _measure_chip():
+    import jax
+    import jax.numpy as jnp
+    from mtf_tpu import create_tracker
+    from mtf_tpu.parallel import TrackerFleet, make_mesh
+
+    dev = jax.devices()[0]
+    mesh = make_mesh({"tracker": 1}, devices=[dev])
+    sm = create_tracker("fclk", "ssd", "8", resx=RES, resy=RES,
+                        max_iters=10, epsilon=0.0)  # fixed-work iterations
+    fleet = TrackerFleet(sm, mesh)
+
+    frame0 = _scene(0)
+    rng = np.random.default_rng(1)
+    corners = []
+    for _ in range(B):
+        cx, cy = rng.uniform(120, 520), rng.uniform(100, 380)
+        s = rng.uniform(30, 60)
+        corners.append([[cx - s, cy - s], [cx + s, cy - s],
+                        [cx + s, cy + s], [cx - s, cy + s]])
+    corners = np.asarray(corners, np.float32)
+    states = fleet.initialize(frame0, corners)
+
+    frames = [_scene(0), _scene(0)]  # static scene, fixed iteration count
+    for i in range(WARMUP):
+        states = fleet.update(states, frames[i % 2])
+    jax.block_until_ready(states)
+    t0 = time.perf_counter()
+    for i in range(STEPS):
+        states = fleet.update(states, frames[i % 2])
+    jax.block_until_ready(states)
+    dt = time.perf_counter() - t0
+    return B * STEPS / dt
+
+
+def _measure_cpu_baseline():
+    """Single-stream, single-CPU-device denominator (cached)."""
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            return json.load(f)["fps"]
+    import subprocess
+    import sys
+    code = r"""
+import json, time
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+from mtf_tpu import create_tracker
+rng = np.random.default_rng(0)
+img = np.cumsum(np.cumsum(rng.normal(0, 1, (480, 640)), 0), 1)
+img = (img - img.min()) / (img.max() - img.min()) * 255.0
+frame = jnp.asarray(img, jnp.float32)
+sm = create_tracker("fclk", "ssd", "8", resx=%d, resy=%d,
+                    max_iters=10, epsilon=0.0)
+corners = jnp.asarray([[250,190],[350,190],[350,290],[250,290]], jnp.float32)
+state = sm.initialize(frame, corners)
+upd = jax.jit(sm.update)
+for _ in range(3):
+    state = upd(state, frame)
+jax.block_until_ready(state)
+t0 = time.perf_counter(); K = 20
+for _ in range(K):
+    state = upd(state, frame)
+jax.block_until_ready(state)
+print(json.dumps({"fps": K / (time.perf_counter() - t0)}))
+""" % (RES, RES)
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=600,
+                         cwd=os.path.dirname(os.path.abspath(__file__)))
+    fps = json.loads(out.stdout.strip().splitlines()[-1])["fps"]
+    os.makedirs(os.path.dirname(BASELINE_CACHE), exist_ok=True)
+    with open(BASELINE_CACHE, "w") as f:
+        json.dump({"fps": fps, "config": f"fclk/ssd/8 {RES}x{RES} cpu"}, f)
+    return fps
+
+
+def main():
+    chip_fps = _measure_chip()
+    try:
+        base_fps = _measure_cpu_baseline()
+    except Exception:
+        base_fps = None
+    print(json.dumps({
+        "metric": "fclk_ssd_hom8_frames_per_sec_per_chip",
+        "value": round(chip_fps, 1),
+        "unit": "frames/s",
+        "vs_baseline": round(chip_fps / base_fps, 2) if base_fps else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

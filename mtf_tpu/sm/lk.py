@@ -64,15 +64,11 @@ class LKBase(SearchMethod):
         generator-basis chain the reference uses (SURVEY.md §3.2)."""
         am, ssm, prm = self.am, self.ssm, self.prm
         S = ssm.dof
-        Ms = ssm.to_matrix(ssm_state)
 
         def fn(q):
             dp, dpam = q[:S], q[S:]
-            if self.compositional:
-                M = Ms @ ssm.to_matrix(dp)
-            else:
-                M = ssm.to_matrix(ssm_state + dp)
-            pts_t = W.apply_warp(M, region.base_pts)
+            pts_t = ssm.warp_pts_from(ssm_state, dp, region.base_pts,
+                                      self.compositional)
             pts = W.apply_warp(region.norm_mat, pts_t)
             patch = interp.sample(frame, pts, prm.interp, prm.border)
             return am.ilm.apply(patch, p_am + dpam)
@@ -86,8 +82,8 @@ class LKBase(SearchMethod):
 
         def fn(q):
             dp = q[:S]
-            M = ssm.to_matrix(dp)
-            pts_t = W.apply_warp(M, region.base_pts)
+            pts_t = ssm.warp_pts_from(ssm.identity(), dp, region.base_pts,
+                                      self.compositional)
             pts = W.apply_warp(region.norm_mat, pts_t)
             return interp.sample(frame, pts, prm.interp, prm.border)
 

@@ -131,6 +131,21 @@ class SSM:
     def additive_update(self, state: Array, dp: Array) -> Array:
         return state + dp
 
+    def warp_pts_from(self, state: Array, dp: Array, pts: Array,
+                      compositional: bool = True) -> Array:
+        """Warp `pts` by the state perturbed with update `dp`.
+
+        The differentiation path of every LK iteration (SURVEY.md §3.2):
+        jacfwd w.r.t. dp at 0 yields the pixel-vs-state Jacobian. Matrix
+        SSMs compose matrices; non-rigid SSMs (Spline/TPS) override with
+        displacement-field semantics.
+        """
+        if compositional:
+            M = self.to_matrix(state) @ self.to_matrix(dp)
+        else:
+            M = self.to_matrix(state + dp)
+        return W.apply_warp(M, pts)
+
     # ---- Jacobians ---------------------------------------------------
     def dwdp_identity(self, pts: Array) -> Array:
         """(N, 2, S) warp Jacobian at identity (compositional LK)."""

@@ -1,0 +1,47 @@
+"""Diagnostics sweeps: AD vs finite differences for AM x SSM pairs
+(the reference's enable_validation contract, Diagnostics.cc:131-200)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mtf_tpu.am import AMParams, get_am
+from mtf_tpu.diagnostics import Diagnostics
+from mtf_tpu.ssm import get_ssm
+
+
+@pytest.fixture(scope="module")
+def scene():
+    rng = np.random.default_rng(0)
+    raw = np.cumsum(np.cumsum(rng.normal(0, 1, (240, 320)), 0), 1)
+    img = (raw - raw.min()) / (raw.max() - raw.min()) * 255.0
+    corners = jnp.asarray([[100, 80], [220, 80], [220, 160], [100, 160]],
+                          jnp.float32)
+    return jnp.asarray(img, jnp.float32), corners
+
+
+# SCV-family excluded: its gradient intentionally freezes the intensity
+# remap table (stop_gradient, matching the reference's treatment of the
+# remap as locally constant — SCV.cc updateSimilarity), so the FD secant
+# legitimately disagrees with the analytic/AD derivative.
+@pytest.mark.parametrize("am_key,ssm_key", [
+    ("ssd", "2"), ("ssd", "8"), ("ncc", "8"), ("zncc", "6"),
+    ("ssim", "4"), ("mi", "8"), ("riu", "3"),
+])
+def test_ad_matches_fd(scene, am_key, ssm_key):
+    img, corners = scene
+    am = get_am(am_key, AMParams(resx=20, resy=20))
+    rep = Diagnostics(am, get_ssm(ssm_key)).validate(img, corners)
+    assert rep.ok, (f"{am_key} x {ssm_key}: jac={rep.max_jac_err:.2e} "
+                    f"hess={rep.max_hess_err:.2e}")
+
+
+# Only exactly-peaked AMs here. SCV's remap adapts to the displaced patch
+# (flat-top surface) and MI's Parzen-histogram estimate has finite-sample
+# bias of ~1e-3 nats — peak-at-zero is not a theorem for either.
+@pytest.mark.parametrize("am_key", ["ncc", "ssd"])
+def test_sweep_has_max_at_zero(scene, am_key):
+    img, corners = scene
+    am = get_am(am_key, AMParams(resx=20, resy=20))
+    sweeps = Diagnostics(am, get_ssm("8")).sweep(img, corners, span=0.05)
+    for d, (xs, ys) in sweeps.items():
+        assert np.argmax(ys) == len(xs) // 2, f"dim {d} peak off-center"
