@@ -58,14 +58,14 @@ def _measure_chip():
     corners = np.asarray(corners, np.float32)
     states = fleet.initialize(frame0, corners)
 
-    frames = [_scene(0), _scene(0)]  # static scene, fixed iteration count
-    for i in range(WARMUP):
-        states = fleet.update(states, frames[i % 2])
+    # device-resident frame chunk; whole fleet x chunk in one dispatch
+    frames = jnp.stack([_scene(0)] * STEPS)
+    # compile + warm with the same scan length as the timed run
+    states, _ = fleet.track_sequence(states, frames)
     jax.block_until_ready(states)
     t0 = time.perf_counter()
-    for i in range(STEPS):
-        states = fleet.update(states, frames[i % 2])
-    jax.block_until_ready(states)
+    states, cs = fleet.track_sequence(states, frames)
+    jax.block_until_ready(cs)
     dt = time.perf_counter() - t0
     return B * STEPS / dt
 

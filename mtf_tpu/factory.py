@@ -35,6 +35,8 @@ def _sm_params(cfg: dict) -> SMParams:
         hess_type=str(cfg.get("hess_type", "selft")),
         jac_type=str(cfg.get("jac_type", "original")),
         enable_lm=bool(cfg.get("enable_lm", False)),
+        spi_type=cfg.get("spi_type") or None,
+        spi_thresh=float(cfg.get("spi_thresh", 0.2)),
         sd_learning_rate=float(cfg.get("sd_learning_rate", 0.1)),
     )
 
@@ -162,6 +164,20 @@ def create_tracker(sm: str = "fclk", am: str = "ssd", ssm: str = "8",
             failure_thresh_px=float(cfg.get("rklt_failure_thresh", 15.0)),
             enable_feedback=bool(cfg.get("rklt_feedback", True)))
         return RKLT(grid, templ, rklt_prm)
+
+    # sparse feature tracker (FeatureTracker.cc; drives trackMarkers)
+    if sm_key == "feat":
+        from mtf_tpu.sm.feature import FeatureParams, FeatureTracker
+        fp = FeatureParams(
+            detector=str(cfg.get("feat_detector", "orb")),
+            max_keypoints=int(cfg.get("feat_max_keypoints", 500)),
+            ratio_thresh=float(cfg.get("feat_ratio_thresh", 0.75)),
+            search_margin=float(cfg.get("feat_search_margin", 1.5)),
+            min_matches=int(cfg.get("feat_min_matches", 8)),
+            estimator=str(cfg.get("feat_estimator", "ransac")),
+            inlier_thresh=float(cfg.get("feat_inlier_thresh", 0.05)),
+            n_hypotheses=int(cfg.get("feat_n_hypotheses", 128)))
+        return FeatureTracker(make_ssm(), prm, fp)
 
     # cascade shorthands
     if sm_key in _CASCADE_SHORTHAND:

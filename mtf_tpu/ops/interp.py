@@ -166,6 +166,17 @@ def _sample_jvp(kind, border, cval, primals, tangents):
     return val, out
 
 
+def sample_with_grad(img: Array, pts: Array, kind: str = LINEAR,
+                     border: str = REPLICATE, cval: float = 0.0):
+    """One fused pass -> (patch (N, C), grad (N, C, 2)).
+
+    The LK hot path needs both the warped pixel values and the interpolant
+    gradient at the same points; fusing them shares the neighborhood
+    gather (the reference computes them in separate updatePixVals /
+    updatePixGrad passes — ImageBase.cc)."""
+    return _sample_val_grad(img, pts, kind, border, cval, need_grad=True)
+
+
 def sample_grad(img: Array, pts: Array, kind: str = LINEAR,
                 border: str = REPLICATE, cval: float = 0.0) -> Array:
     """Analytic image gradient at sampled points -> (N, C, 2).

@@ -83,3 +83,25 @@ class TrackerFleet:
     def corners(self, states) -> Array:
         """(B, 2, 4) corner matrices."""
         return jax.vmap(self.sm.corners)(states)
+
+    def track_sequence(self, states, frames: Array):
+        """Scan the whole fleet over a device-resident frame stack
+        (T, H, W[, C]) shared by all trackers — ONE dispatch for B x T
+        tracker-updates. Returns (final_states, corners (T, B, 2, 4))."""
+        from mtf_tpu.sm.core import image_corners
+
+        def step(sts, frame):
+            new = jax.vmap(self.sm.update, in_axes=(0, None))(sts, frame)
+            cs = jax.vmap(
+                lambda s: image_corners(self.sm.ssm, s).T)(new)
+            return new, cs
+
+        fn = lambda s, f: jax.lax.scan(step, s, f)  # noqa: E731
+        if self.mesh is None:
+            return jax.jit(fn)(states, jnp.asarray(frames))
+        sh = NamedSharding(self.mesh, P(self.axis))
+        repl = NamedSharding(self.mesh, P())
+        jfn = jax.jit(fn, in_shardings=(sh, repl),
+                      out_shardings=(sh, NamedSharding(
+                          self.mesh, P(None, self.axis))))
+        return jfn(states, self._replicate(jnp.asarray(frames)))

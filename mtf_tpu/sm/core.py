@@ -57,6 +57,9 @@ class SMParams:
     hess_type: str = "self0"       # self0 | selft | std | std2 (ESMParams.h:13-18)
     jac_type: str = "original"     # original | diff_of_jacs (ESM)
     enable_lm: bool = False        # Levenberg-Marquardt damping w/ rollback
+    spi_type: str | None = None    # SPI mask: pix_diff | gradient | gftt
+    spi_thresh: float = 0.2        # (spiUtils.h:12-60; ESM wiring
+                                   #  NT/ESM.cc:40-66)
     lm_delta0: float = 1e-3
     lm_up: float = 10.0
     lm_down: float = 0.1
@@ -95,6 +98,28 @@ def image_corners(ssm: SSM, state: TrackerState) -> Array:
 
 def sample_patch(frame: Array, pts: Array, prm: SMParams) -> Array:
     return interp.sample(frame, pts, prm.interp, prm.border)
+
+
+def track_sequence(sm, frames: Array, corners0: Array,
+                   state0: TrackerState | None = None):
+    """Track a whole frame stack in ONE device dispatch via `lax.scan`.
+
+    The runMTF loop (`runMTF.cc:460-704`) round-trips host<->device every
+    frame; when frames are already device-resident (offline eval, synthetic
+    benches, video chunks) a scan amortizes dispatch and lets XLA pipeline
+    the per-frame programs. Returns (final_state, corners (T-1, 2, 4)).
+    """
+    if state0 is None:
+        state0 = sm.initialize(frames[0], corners0)
+        rest = frames[1:]
+    else:
+        rest = frames
+
+    def step(state, frame):
+        st = sm.update(state, frame)
+        return st, image_corners(sm.ssm, st).T
+
+    return jax.lax.scan(step, state0, rest)
 
 
 class SearchMethod:

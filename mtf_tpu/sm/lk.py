@@ -94,9 +94,45 @@ class LKBase(SearchMethod):
         return self.ssm.dof + self.am.ilm.n_params
 
     def _jac(self, fn, q_dim):
-        """(NC, q_dim) Jacobian of a patch function at 0."""
+        """(NC, q_dim) Jacobian of a patch function at 0 (AD fallback)."""
         J = jax.jacfwd(fn)(jnp.zeros((q_dim,), jnp.float32))
         return J.reshape(-1, q_dim)
+
+    def _patch_and_jac(self, region, ssm_state, p_am, frame):
+        """One-gather Jacobian chain -> (corrected patch (N,C), J (NC,Q)).
+
+        jacfwd through the sampler costs Q tangent gather passes; the
+        reference's chain dI/dx . dW/dp (SURVEY.md §3.2; Homography.cc
+        cmptWarpedPixJacobian) needs ONE fused value+gradient gather plus
+        a cheap warp-algebra jacfwd and an (N,2,S) contraction — the
+        gathers are the TPU bottleneck, so this is the hot-path form.
+        """
+        am, ssm, prm = self.am, self.ssm, self.prm
+        S, P = ssm.dof, am.ilm.n_params
+
+        def pts_fn(dp):
+            pts_t = ssm.warp_pts_from(ssm_state, dp, region.base_pts,
+                                      self.compositional)
+            return W.apply_warp(region.norm_mat, pts_t)
+
+        zero = jnp.zeros((S,), jnp.float32)
+        pts = pts_fn(zero)
+        Jpts = jax.jacfwd(pts_fn)(zero)         # (N, 2, S): no gathers
+        patch, grad = interp.sample_with_grad(frame, pts, prm.interp,
+                                              prm.border)
+        Jp = jnp.einsum("ncd,nds->ncs", grad, Jpts)      # (N, C, S)
+        N, C = patch.shape
+        if P == 0:
+            return patch, Jp.reshape(N * C, S)
+        # chain through the illumination model (dILM/dpatch is cheap
+        # elementwise math; dILM/dp gives the photometric columns)
+        corrected = am.ilm.apply(patch, p_am)
+        ilm_jvp = lambda t: jax.jvp(  # noqa: E731
+            lambda q: am.ilm.apply(q, p_am), (patch,), (t,))[1]
+        J_ssm = jax.vmap(ilm_jvp, in_axes=2, out_axes=2)(Jp)
+        J_ilm = jax.jacfwd(lambda pam: am.ilm.apply(patch, pam))(p_am)
+        return corrected, jnp.concatenate(
+            [J_ssm.reshape(N * C, S), J_ilm.reshape(N * C, P)], axis=1)
 
     def _hess_contract(self, am_state: AMState, at_patch: Array, J: Array):
         """J^T (d2 similarity / d corrected-patch^2) J via S hvps."""
@@ -115,17 +151,11 @@ class LKBase(SearchMethod):
 
     # -- init ----------------------------------------------------------
     def _init_extra(self, state: TrackerState, frame: Array):
-        q_dim = self._q_dim
-        fn0 = self._template_patch_fn(state.region, frame)
-        J_full = self._jac(fn0, q_dim)  # ILM columns are zero here
-        patch0 = fn0(jnp.zeros((q_dim,), jnp.float32))
-        if self.am.ilm.n_params > 0:
-            # ILM columns at identity params on the template patch
-            S = self.ssm.dof
-            J_ilm = jax.jacfwd(
-                lambda pam: self.am.ilm.apply(patch0, pam))(
-                    self.am.ilm.identity_params()).reshape(-1, self.am.ilm.n_params)
-            J_full = J_full.at[:, S:].set(J_ilm)
+        # template-side patch + Jacobian at identity warp / identity ILM
+        # (ICLK/ESM hoisting, NT/ICLK.cc:initialize)
+        patch0, J_full = self._patch_and_jac(
+            state.region, self.ssm.identity(),
+            self.am.ilm.identity_params(), frame)
         H0 = self._hess_contract(state.am_state, patch0, J_full)
         return LKCache(J0=J_full[:, : self.ssm.dof], H0=H0)
 
@@ -137,17 +167,33 @@ class LKBase(SearchMethod):
         st0 = state.am_state._replace(p_am=carry.p_am)
         cache: LKCache = state.extra
 
-        fn = self._patch_fn(state.region, carry.ssm_state, carry.p_am, frame)
-        patch = fn(jnp.zeros((q_dim,), jnp.float32))
+        patch, J = self._patch_and_jac(
+            state.region, carry.ssm_state, carry.p_am, frame)
 
-        J = self._jac(fn, q_dim)  # (NC, Q) current-side
+        # SPI: per-pixel weights gating Jacobian/gradient rows
+        # (spiUtils masks; weighted GN solves J^T W^2 J dp = J^T W^2 r)
+        if prm.spi_type:
+            from mtf_tpu.ops.spi import compute_spi_mask
+            mask = compute_spi_mask(
+                prm.spi_type, st0.template, patch,
+                am.prm.resy, am.prm.resx, prm.spi_thresh)       # (N,)
+            wm = jnp.repeat(mask, patch.size // mask.shape[0])  # (NC,)
+            J = J * wm[:, None]
+            cache = cache._replace(J0=cache.J0 * wm[:, None])
+        else:
+            wm = None
+
+        def _mw(g):
+            """Gradient rows get the same SPI weight as Jacobian rows so
+            j and H are both w^2-weighted (consistent weighted GN)."""
+            return g if wm is None else g * wm
 
         if self.inverse:
             # template-side gradient contracted with cached J0 (ICLK)
-            g0 = am.grad_template(st0, patch).reshape(-1)
+            g0 = _mw(am.grad_template(st0, patch).reshape(-1))
             j_ssm = g0 @ cache.J0
             if P > 0:
-                gI = am.grad_corrected(st0, patch).reshape(-1)
+                gI = _mw(am.grad_corrected(st0, patch).reshape(-1))
                 j = jnp.concatenate([j_ssm, gI @ J[:, S:]])
             else:
                 j = j_ssm
@@ -155,16 +201,16 @@ class LKBase(SearchMethod):
                 [cache.J0, J[:, S:]], axis=1) if P > 0 else cache.J0
         elif self.use_esm_jac:
             J_esm = J.at[:, :S].set(0.5 * (J[:, :S] + cache.J0))
-            gI = am.grad_corrected(st0, patch).reshape(-1)
+            gI = _mw(am.grad_corrected(st0, patch).reshape(-1))
             if prm.jac_type == "diff_of_jacs":
-                g0 = am.grad_template(st0, patch).reshape(-1)
+                g0 = _mw(am.grad_template(st0, patch).reshape(-1))
                 j_ssm = 0.5 * (gI @ J[:, :S] + g0 @ cache.J0)
                 j = jnp.concatenate([j_ssm, gI @ J[:, S:]]) if P > 0 else j_ssm
             else:
                 j = gI @ J_esm
             J_h = J_esm
         else:
-            gI = am.grad_corrected(st0, patch).reshape(-1)
+            gI = _mw(am.grad_corrected(st0, patch).reshape(-1))
             j = gI @ J
             J_h = J
 
@@ -177,7 +223,11 @@ class LKBase(SearchMethod):
         elif prm.hess_type == "std":
             H = self._hess_contract(st0, patch, J_h)
         elif prm.hess_type == "std2":
-            E = lambda q: am.f_corrected(st0, fn(q))
+            # full second-order Newton Hessian: AD through the sampler
+            # (slow path; kept for the reference's 2nd-order variants)
+            fn2 = self._patch_fn(state.region, carry.ssm_state,
+                                 carry.p_am, frame)
+            E = lambda q: am.f_corrected(st0, fn2(q))
             H = jax.hessian(E)(jnp.zeros((q_dim,), jnp.float32))
         else:
             raise ValueError(f"unknown hess_type {prm.hess_type!r}")

@@ -36,6 +36,11 @@ def _load_image(path: str) -> np.ndarray:
     return np.asarray(imageio.imread(path), np.float32)
 
 
+def load_image(path: str) -> np.ndarray:
+    """Public single-image loader (cv2 -> PIL -> imageio fallback)."""
+    return _load_image(path)
+
+
 class InputBase:
     """Iterator protocol over frames (reference InputBase)."""
 
