@@ -12,6 +12,7 @@ from mtf_tpu.am.ssim import SSIM, SPSS
 from mtf_tpu.am.info import MI, CCRE, KLD, LKLD
 from mtf_tpu.am.scv import SCV, RSCV, LSCV, LRSCV
 from mtf_tpu.am.misc import RIU, NGF, PCA, SumOfAMs  # noqa: F401
+from mtf_tpu.am.dfm import DFM
 from mtf_tpu.am.ilm import ILM_REGISTRY, GB, PGB, RBF  # noqa: F401
 
 AM_REGISTRY = {
@@ -19,7 +20,7 @@ AM_REGISTRY = {
     "ncc": NCC, "ssim": SSIM, "spss": SPSS,
     "mi": MI, "ccre": CCRE, "kld": KLD, "lkld": LKLD,
     "scv": SCV, "rscv": RSCV, "lscv": LSCV, "lrscv": LRSCV,
-    "riu": RIU, "ngf": NGF, "pca": PCA,
+    "riu": RIU, "ngf": NGF, "pca": PCA, "dfm": DFM,
 }
 
 

@@ -165,6 +165,18 @@ def create_tracker(sm: str = "fclk", am: str = "ssd", ssm: str = "8",
             enable_feedback=bool(cfg.get("rklt_feedback", True)))
         return RKLT(grid, templ, rklt_prm)
 
+    # learned regression-network SM (NT/RegNet.cc analog)
+    if sm_key == "regnet":
+        from mtf_tpu.sm.regnet import RegNet, RegNetParams
+        rp = RegNetParams(
+            n_samples=int(cfg.get("rg_n_samples", 2000)),
+            train_steps=int(cfg.get("rg_train_steps", 300)),
+            max_iters=int(cfg.get("rg_max_iters", 5)),
+            pix_sigma=float(cfg.get("rg_pix_sigma", 4.0)),
+            ssm_sigma=tuple(cfg.get("rg_ssm_sigma", ())),
+            seed=int(cfg.get("seed", 0)))
+        return RegNet(make_am(), make_ssm(), prm, rp)
+
     # sparse feature tracker (FeatureTracker.cc; drives trackMarkers)
     if sm_key == "feat":
         from mtf_tpu.sm.feature import FeatureParams, FeatureTracker
@@ -184,6 +196,14 @@ def create_tracker(sm: str = "fclk", am: str = "ssd", ssm: str = "8",
         first, second = _CASCADE_SHORTHAND[sm_key]
         return CascadeSM([create_tracker(first, am, ssm, ilm, **cfg),
                           create_tracker(second, am, ssm, ilm, **cfg)])
+
+    # hierarchical SM (HESM.h:61-99): low-DOF stage seeds the full-DOF
+    # stage — a cascade over SSMs of the same SM
+    if sm_key in ("hrch", "hesm"):
+        base = str(cfg.get("hrch_sm", "esm"))
+        low = str(cfg.get("hrch_ssm", "2"))
+        return CascadeSM([create_tracker(base, am, low, ilm, **cfg),
+                          create_tracker(base, am, ssm, ilm, **cfg)])
 
     # explicit composites
     if sm_key in ("casc", "cascade"):
