@@ -148,6 +148,14 @@ def create_tracker(sm: str = "fclk", am: str = "ssd", ssm: str = "8",
                 raise ValueError(f"unknown NN variant {sm!r}")
         return NN(make_am(), make_ssm(), prm, _nn_params(cfg, n))
 
+    # line-constrained grid tracker (LineTracker.cc)
+    if sm_key == "line":
+        from mtf_tpu.sm.line import LineParams, LineTracker
+        lp = LineParams(
+            conf_thresh=float(cfg.get("line_conf_thresh", 0.05)))
+        return LineTracker(make_am(), make_ssm(), prm, _grid_params(cfg),
+                           lp)
+
     # grid trackers + estimator variants
     if sm_key in ("grid", "lms", "ransac", "rnsc"):
         est = {"lms": "lmeds", "ransac": "ransac", "rnsc": "ransac",
