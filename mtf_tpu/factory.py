@@ -52,6 +52,18 @@ def _am_params(cfg: dict) -> AMParams:
     )
 
 
+def _sigma_from_ids(cfg: dict, ids_key: str) -> tuple:
+    """Resolve an id-indexed sigma.cfg preset selection into a sigma
+    vector (mtf.h:268-309; first id wins like the reference's primary
+    sampler)."""
+    ids = cfg.get(ids_key)
+    if ids is None or "_presets" not in cfg:
+        return ()
+    from mtf_tpu.utils.config import resolve_sigma_presets
+    vecs = resolve_sigma_presets(cfg, ids)
+    return tuple(vecs[0]) if vecs else ()
+
+
 def _pf_params(cfg: dict, n_particles: int | None = None) -> PFParams:
     return PFParams(
         n_particles=int(n_particles or cfg.get("pf_n_particles", 200)),
@@ -61,7 +73,8 @@ def _pf_params(cfg: dict, n_particles: int | None = None) -> PFParams:
         resampling=str(cfg.get("pf_resampling", "systematic")),
         mean_type=str(cfg.get("pf_mean_type", "weighted")),
         pix_sigma=float(cfg.get("pf_pix_sigma", 3.0)),
-        ssm_sigma=tuple(cfg.get("pf_ssm_sigma", ())),
+        ssm_sigma=tuple(cfg.get("pf_ssm_sigma", ())) or
+        _sigma_from_ids(cfg, "pf_ssm_sigma_ids"),
         measurement_sigma=float(cfg.get("pf_measurement_sigma", 0.1)),
         seed=int(cfg.get("seed", 0)),
     )
@@ -72,7 +85,8 @@ def _nn_params(cfg: dict, n_samples: int | None = None) -> NNParams:
         n_samples=int(n_samples or cfg.get("nn_n_samples", 1000)),
         max_iters=int(cfg.get("nn_max_iters", 3)),
         pix_sigma=float(cfg.get("nn_pix_sigma", 4.0)),
-        ssm_sigma=tuple(cfg.get("nn_ssm_sigma", ())),
+        ssm_sigma=tuple(cfg.get("nn_ssm_sigma", ())) or
+        _sigma_from_ids(cfg, "nn_ssm_sigma_ids"),
         seed=int(cfg.get("seed", 0)),
     )
 
@@ -213,17 +227,26 @@ def create_tracker(sm: str = "fclk", am: str = "ssd", ssm: str = "8",
         return CascadeSM([create_tracker(base, am, low, ilm, **cfg),
                           create_tracker(base, am, ssm, ilm, **cfg)])
 
-    # explicit composites
+    # explicit composites; members from explicit tuples or a multi.cfg
+    # block file (Config/multi.cfg / readTrackerParams, parameters.h:4029)
     if sm_key in ("casc", "cascade"):
         members = cfg.get("members")
+        if not members and "multi_cfg" in cfg:
+            return CascadeSM(create_trackers_from_multi(
+                cfg.pop("multi_cfg"), **cfg))
         if not members:
-            raise ValueError("casc requires members=[(sm, am, ssm), ...]")
+            raise ValueError("casc requires members=[(sm, am, ssm), ...] "
+                             "or multi_cfg=<path>")
         return CascadeSM([create_tracker(m_sm, m_am, m_ssm, ilm, **cfg)
                           for (m_sm, m_am, m_ssm) in members])
     if sm_key in ("prl", "prlt", "prls", "prsm", "parallel"):
         members = cfg.get("members")
+        if not members and "multi_cfg" in cfg:
+            return ParallelSM(create_trackers_from_multi(
+                cfg.pop("multi_cfg"), **cfg))
         if not members:
-            raise ValueError("prl requires members=[(sm, am, ssm), ...]")
+            raise ValueError("prl requires members=[(sm, am, ssm), ...] "
+                             "or multi_cfg=<path>")
         return ParallelSM([create_tracker(m_sm, m_am, m_ssm, ilm, **cfg)
                            for (m_sm, m_am, m_ssm) in members])
     if sm_key in ("pyr", "pyrt", "pysm", "pyrs"):
@@ -233,3 +256,19 @@ def create_tracker(sm: str = "fclk", am: str = "ssd", ssm: str = "8",
                            n_levels)
 
     raise ValueError(f"unknown SM key {sm!r}")
+
+
+def create_trackers_from_multi(path_or_text: str, **base_cfg):
+    """Build one tracker per multi.cfg block (readTrackerParams analog)."""
+    from mtf_tpu.utils.config import read_multi_cfg
+    trackers = []
+    for block in read_multi_cfg(path_or_text):
+        merged = {**base_cfg, **block}
+        sm = str(merged.pop("sm", "fclk"))
+        am = str(merged.pop("am", "ssd"))
+        ssm = str(merged.pop("ssm", "8"))
+        ilm = merged.pop("ilm", None)
+        ilm = None if ilm in (None, 0, "0", "none") else str(ilm)
+        merged.pop("members", None)
+        trackers.append(create_tracker(sm, am, ssm, ilm, **merged))
+    return trackers

@@ -47,8 +47,53 @@ def parse_cfg_text(text: str) -> dict:
         if len(parts) == 1:
             continue
         key, value = parts
+        if ":" in key:
+            # id-indexed preset line `NN:param value` (sigma.cfg format,
+            # Config/sigma.cfg:1-25; selected via *_ids lists)
+            idx, pkey = key.split(":", 1)
+            try:
+                presets = out.setdefault("_presets", {}).setdefault(pkey, {})
+                presets[int(idx)] = _parse_value(value)
+                continue
+            except ValueError:
+                pass
         out[key] = _parse_value(value)
     return out
+
+
+def resolve_sigma_presets(cfg: dict, ids) -> list:
+    """Map preset id list -> sigma vectors (mtf.h:268-309 sigma registry)."""
+    presets = cfg.get("_presets", {}).get("ssm_sigma", {})
+    if isinstance(ids, (int, float)):
+        ids = [int(ids)]
+    out = []
+    for i in ids:
+        if int(i) not in presets:
+            raise KeyError(f"ssm_sigma preset {i} not in sigma.cfg")
+        v = presets[int(i)]
+        out.append(v if isinstance(v, list) else [v])
+    return out
+
+
+def read_multi_cfg(path_or_text: str) -> list[dict]:
+    """Parse multi.cfg: per-tracker parameter blocks separated by blank
+    lines (Config/multi.cfg; consumed by readTrackerParams for cascade/
+    parallel/multi-tracker runs, parameters.h:4029)."""
+    text = path_or_text
+    if os.path.exists(path_or_text):
+        with open(path_or_text) as f:
+            text = f.read()
+    blocks, cur = [], []
+    for line in text.splitlines():
+        if line.strip() == "":
+            if cur:
+                blocks.append(parse_cfg_text("\n".join(cur)))
+                cur = []
+            continue
+        cur.append(line)
+    if cur:
+        blocks.append(parse_cfg_text("\n".join(cur)))
+    return [post_process(b) for b in blocks if b]
 
 
 def read_cfg_file(path: str) -> dict:
