@@ -25,9 +25,17 @@ def _locate(detector_prm, marker_img, frame, ssm):
     from mtf_tpu.sm.feature import (FeatureParams, _descr_float, _match,
                                     _make_detector, _to_u8)
 
+    from dataclasses import replace
     det = _make_detector(detector_prm)
+    # scene-side detector budget scales with the area ratio, else the
+    # global top-N cap can exclude every keypoint inside the target region
+    area_ratio = (frame.shape[0] * frame.shape[1]) / max(
+        marker_img.shape[0] * marker_img.shape[1], 1)
+    det_scene = _make_detector(replace(
+        detector_prm, max_keypoints=int(
+            detector_prm.max_keypoints * max(1.0, area_ratio))))
     k0, d0 = det.detectAndCompute(_to_u8(marker_img), None)
-    k1, d1 = det.detectAndCompute(_to_u8(frame), None)
+    k1, d1 = det_scene.detectAndCompute(_to_u8(frame), None)
     if d0 is None or d1 is None or len(k0) < 8 or len(k1) < 8:
         return None
     f0, f1 = _descr_float(d0), _descr_float(d1)

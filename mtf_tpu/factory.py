@@ -32,6 +32,7 @@ def _sm_params(cfg: dict) -> SMParams:
         epsilon=float(cfg.get("epsilon", 0.01)),
         interp=str(cfg.get("interp", "linear")),
         border=str(cfg.get("border", "replicate")),
+        crop=int(cfg["crop"]) if cfg.get("crop") else None,
         hess_type=str(cfg.get("hess_type", "selft")),
         jac_type=str(cfg.get("jac_type", "original")),
         enable_lm=bool(cfg.get("enable_lm", False)),
@@ -121,6 +122,13 @@ def create_tracker(sm: str = "fclk", am: str = "ssd", ssm: str = "8",
     pf_n_particles, nn_n_samples, grid_res, ...).
     """
     sm_key = sm.lower()
+
+    # third-party trackers take precedence like the reference factory
+    # (mtf.h:935 -> 1978): bundled-tracker keys bypass the AM/SSM machinery
+    from mtf_tpu.third_party import get_third_party, is_third_party
+    if is_third_party(sm_key):
+        return get_third_party(sm_key)
+
     prm = _sm_params(cfg)
     am_prm = _am_params(cfg)
 

@@ -90,6 +90,12 @@ def _cubic_weights(f: Array, kind: str):
 def _sample_val_grad(img: Array, pts: Array, kind: str, border: str,
                      cval: float, need_grad: bool):
     """Core: value (N, C) and, if need_grad, analytic d/d(x,y) (N, C, 2)."""
+    if kind.endswith(_MM_SUFFIX):
+        # dense-matmul path (full image; the LK hot loop passes an
+        # explicit crop via sample_dense directly)
+        val, grad = sample_dense(img, pts, kind[: -len(_MM_SUFFIX)],
+                                 cval=cval)
+        return val, (grad if need_grad else None)
     img = _as_hwc(img)
     h, w, c = img.shape
     img_flat = img.reshape(h * w, c)
@@ -175,6 +181,104 @@ def sample_with_grad(img: Array, pts: Array, kind: str = LINEAR,
     gather (the reference computes them in separate updatePixVals /
     updatePixGrad passes — ImageBase.cc)."""
     return _sample_val_grad(img, pts, kind, border, cval, need_grad=True)
+
+
+# ---------------------------------------------------------------------------
+# Dense (matmul) interpolation — the TPU gather replacement.
+#
+# XLA gathers on TPU run at ~1 element/cycle; a 50x50 patch with 4-16 taps
+# per point per LK iteration leaves the MXU idle and the kernel
+# gather-bound (measured: the whole fleet update is flat at ~1.3 kfps).
+# Interpolation kernels have compact support, so sampling is a *banded*
+# linear map:  patch[n] = wy_n^T . IMG . wx_n  with wx/wy built densely
+# from broadcasted iota (VPU elementwise) — turning the irregular gather
+# into two MXU contractions. With a dynamic-slice crop around the tracked
+# region the contraction is (N, Hc) x (Hc, Wc) x (Wc,) per point batch:
+# hundreds of MFLOPs, microseconds on the MXU. Select with the
+# "<kind>_mm" interp names (e.g. "linear_mm"); border is always
+# 'replicate' via coordinate clamping.
+# ---------------------------------------------------------------------------
+
+_MM_SUFFIX = "_mm"
+LINEAR_MM = "linear_mm"
+CUBIC_MM = "cubic_mm"
+CUBIC_BSPL_MM = "cubic_bspl_mm"
+
+
+def _kernel_weights_dense(t: Array, kind: str):
+    """(phi(t), phi'(t)) for tap offsets t = k - x (any shape), compact
+    support: linear |t|<1, cubics |t|<2."""
+    a = jnp.abs(t)
+    s = jnp.sign(t)
+    if kind == LINEAR:
+        w = jnp.maximum(0.0, 1.0 - a)
+        dphi = jnp.where(a < 1.0, -s, 0.0)
+        return w, dphi
+    a2, a3 = a * a, a * a * a
+    if kind == CUBIC:  # Catmull-Rom (alpha = -1/2)
+        w_in = 1.5 * a3 - 2.5 * a2 + 1.0
+        w_out = -0.5 * a3 + 2.5 * a2 - 4.0 * a + 2.0
+        d_in = 4.5 * a2 - 5.0 * a          # d phi / d|t|
+        d_out = -1.5 * a2 + 5.0 * a - 4.0
+    elif kind == CUBIC_BSPL:
+        w_in = 0.5 * a3 - a2 + 2.0 / 3.0
+        w_out = -(a - 2.0) ** 3 / 6.0
+        d_in = 1.5 * a2 - 2.0 * a
+        d_out = -0.5 * (a - 2.0) ** 2
+    else:
+        raise ValueError(f"unknown dense kind {kind!r}")
+    w = jnp.where(a < 1.0, w_in, jnp.where(a < 2.0, w_out, 0.0))
+    dphi = jnp.where(a < 1.0, d_in, jnp.where(a < 2.0, d_out, 0.0)) * s
+    return w, dphi
+
+
+def _axis_weights(coord: Array, size: int, kind: str):
+    """(N, size) value and d/dcoord weight matrices for one axis."""
+    lo = 0.001 if kind == LINEAR else 1.001
+    hi = (size - 1.001) if kind == LINEAR else (size - 2.001)
+    c = jnp.clip(coord, lo, hi)                       # replicate border
+    k = jax.lax.broadcasted_iota(jnp.float32, (coord.shape[0], size), 1)
+    t = k - c[:, None]
+    w, dphi = _kernel_weights_dense(t, kind)
+    # d/dcoord phi(k - coord) = -phi'(t)
+    return w, -dphi
+
+
+def sample_dense(img: Array, pts: Array, kind: str = LINEAR,
+                 crop: int | None = None, cval: float = 0.0):
+    """Matmul-form sampling -> (patch (N, C), grad (N, C, 2)).
+
+    `crop`: static window size; the window is dynamic-sliced around the
+    points (replicate-clamped at its edge). None = full image.
+    """
+    img = _as_hwc(img)
+    h, w, c = img.shape
+    x, y = pts[:, 0], pts[:, 1]
+    if crop is not None and (crop < h or crop < w):
+        hc, wc = min(crop, h), min(crop, w)
+        x0 = jnp.clip(jnp.floor(jnp.min(x)) - 2.0, 0.0, float(w - wc))
+        y0 = jnp.clip(jnp.floor(jnp.min(y)) - 2.0, 0.0, float(h - hc))
+        sub = jax.lax.dynamic_slice(
+            img, (y0.astype(jnp.int32), x0.astype(jnp.int32), 0),
+            (hc, wc, c))
+        x = x - x0
+        y = y - y0
+    else:
+        sub, hc, wc = img, h, w
+    Wx, dWx = _axis_weights(x, wc, kind)              # (N, Wc)
+    Wy, dWy = _axis_weights(y, hc, kind)              # (N, Hc)
+    # two MXU contractions + cheap reuse for the gradients
+    tmp = jnp.einsum("nw,hwc->nhc", Wx, sub,
+                     preferred_element_type=jnp.float32)
+    tmp_dx = jnp.einsum("nw,hwc->nhc", dWx, sub,
+                        preferred_element_type=jnp.float32)
+    val = jnp.einsum("nh,nhc->nc", Wy, tmp,
+                     preferred_element_type=jnp.float32)
+    dx = jnp.einsum("nh,nhc->nc", Wy, tmp_dx,
+                    preferred_element_type=jnp.float32)
+    dy = jnp.einsum("nh,nhc->nc", dWy, tmp,
+                    preferred_element_type=jnp.float32)
+    return val, jnp.stack([dx, dy], axis=-1)
 
 
 def sample_grad(img: Array, pts: Array, kind: str = LINEAR,

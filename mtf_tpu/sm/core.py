@@ -52,8 +52,9 @@ class SMParams:
     e.g. FCLKParams/ESMParams)."""
     max_iters: int = 30
     epsilon: float = 0.01          # corner-change convergence threshold (px)
-    interp: str = "linear"
+    interp: str = "linear"         # + "<kind>_mm" = dense-matmul sampling
     border: str = "replicate"
+    crop: int | None = None        # static crop window for dense sampling
     hess_type: str = "self0"       # self0 | selft | std | std2 (ESMParams.h:13-18)
     jac_type: str = "original"     # original | diff_of_jacs (ESM)
     enable_lm: bool = False        # Levenberg-Marquardt damping w/ rollback

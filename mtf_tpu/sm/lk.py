@@ -118,8 +118,12 @@ class LKBase(SearchMethod):
         zero = jnp.zeros((S,), jnp.float32)
         pts = pts_fn(zero)
         Jpts = jax.jacfwd(pts_fn)(zero)         # (N, 2, S): no gathers
-        patch, grad = interp.sample_with_grad(frame, pts, prm.interp,
-                                              prm.border)
+        if prm.interp.endswith("_mm"):
+            patch, grad = interp.sample_dense(
+                frame, pts, prm.interp[:-3], crop=prm.crop)
+        else:
+            patch, grad = interp.sample_with_grad(frame, pts, prm.interp,
+                                                  prm.border)
         Jp = jnp.einsum("ncd,nds->ncs", grad, Jpts)      # (N, C, S)
         N, C = patch.shape
         if P == 0:
