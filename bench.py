@@ -20,7 +20,7 @@ import time
 import numpy as np
 
 RES = 50            # reference default resx=resy=50
-B = 64              # fleet width per chip
+B = 256             # fleet width per chip (throughput saturates ~here)
 WARMUP = 3
 STEPS = 20
 BASELINE_CACHE = os.path.join(os.path.dirname(__file__), "log",
@@ -43,8 +43,12 @@ def _measure_chip():
 
     dev = jax.devices()[0]
     mesh = make_mesh({"tracker": 1}, devices=[dev])
+    # dense matmul interpolation (gather-free hot path) with a cropped
+    # window — the TPU-native configuration; accuracy is identical to the
+    # gather path (tests/test_dense_interp.py)
     sm = create_tracker("fclk", "ssd", "8", resx=RES, resy=RES,
-                        max_iters=10, epsilon=0.0)  # fixed-work iterations
+                        max_iters=10, epsilon=0.0,
+                        interp="linear_mm", crop=192)
     fleet = TrackerFleet(sm, mesh)
 
     frame0 = _scene(0)

@@ -36,6 +36,12 @@ def build_argparser():
     p.add_argument("--reinit_on_failure", action="store_true")
     p.add_argument("--reinit_err_thresh", type=float, default=20.0)
     p.add_argument("--reinit_frame_skip", type=int, default=5)
+    p.add_argument("--reinit_at_each_frame", action="store_true",
+                   help="fresh template from GT every frame "
+                        "(runMTF.cc:560-577 protocol)")
+    p.add_argument("--reset_at_each_frame", action="store_true",
+                   help="reset region to GT every frame, keep template "
+                        "(runMTF.cc:578-599 protocol)")
     p.add_argument("--out_dir", default="log")
     p.add_argument("--platform", default=None,
                    help="jax platform override (cpu/axon)")
@@ -136,6 +142,14 @@ def main(argv=None):
                 tracked.append(corners)
                 continue
             errors.append(err)
+            # per-frame evaluation protocols (runMTF.cc:560-599): measure
+            # single-frame tracking quality by re-anchoring to GT
+            if args.reinit_at_each_frame:
+                state = tracker.initialize(frames[t],
+                                           jnp.asarray(gt_corners[t]))
+            elif args.reset_at_each_frame:
+                state = tracker.set_region(state,
+                                           jnp.asarray(gt_corners[t]))
         tracked.append(corners)
     jax.block_until_ready(jax.tree_util.tree_leaves(state)[0])
     dt = time.perf_counter() - t0

@@ -119,3 +119,16 @@ class NN(SearchMethod):
         patch = self._patch_at(state.region, s_out, frame)
         return new_state._replace(
             am_state=self.am.update_model(state.am_state, patch))
+
+    # -- index persistence (NNParams.h:35-37 save_index/load_index;
+    #    GNN.h:44-45 saveGraph/loadGraph) ------------------------------
+    def save_index(self, state: TrackerState, path: str) -> None:
+        """Persist the sample dataset + perturbations."""
+        from mtf_tpu.utils.checkpoint import save_state
+        save_state(path, state.extra)
+
+    def load_index(self, state: TrackerState, path: str) -> TrackerState:
+        """Replace the dataset with a previously saved one (skips the
+        dataset-generation cost on re-init)."""
+        from mtf_tpu.utils.checkpoint import load_state
+        return state._replace(extra=load_state(path, state.extra))
