@@ -1,0 +1,120 @@
+"""Fused dense-interpolation Pallas kernel.
+
+The XLA path (`ops.interp.sample_dense`) materializes the (N, Wc)/(N, Hc)
+weight matrices and the (N, Hc) partial products in HBM between ops. This
+kernel fuses the whole chain per point-block in VMEM:
+
+    iota -> kernel weights (VPU)  ->  two MXU contractions  ->  row reduce
+
+so the only HBM traffic is the cropped image (once) and the (N,) outputs.
+Image crops up to ~512x512 f32 fit VMEM alongside the per-block weights.
+
+Grayscale (C=1) only — the tracking hot path samples single-channel
+patches; multichannel falls back to the XLA einsum path.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+_TN = 256  # points per block
+
+
+def _weights_dense(t, kind: str):
+    """phi(t), phi'(t) on tap offsets t (VPU elementwise)."""
+    a = jnp.abs(t)
+    s = jnp.sign(t)
+    if kind == "linear":
+        return jnp.maximum(0.0, 1.0 - a), jnp.where(a < 1.0, -s, 0.0)
+    a2, a3 = a * a, a * a * a
+    if kind == "cubic":
+        w_in = 1.5 * a3 - 2.5 * a2 + 1.0
+        w_out = -0.5 * a3 + 2.5 * a2 - 4.0 * a + 2.0
+        d_in = 4.5 * a2 - 5.0 * a
+        d_out = -1.5 * a2 + 5.0 * a - 4.0
+    elif kind == "cubic_bspl":
+        w_in = 0.5 * a3 - a2 + 2.0 / 3.0
+        w_out = -(a - 2.0) ** 3 / 6.0
+        d_in = 1.5 * a2 - 2.0 * a
+        d_out = -0.5 * (a - 2.0) ** 2
+    else:
+        raise ValueError(kind)
+    w = jnp.where(a < 1.0, w_in, jnp.where(a < 2.0, w_out, 0.0))
+    dphi = jnp.where(a < 1.0, d_in, jnp.where(a < 2.0, d_out, 0.0)) * s
+    return w, dphi
+
+
+def _kernel(kind, hc, wc, x_ref, y_ref, sub_ref, val_ref, dx_ref, dy_ref):
+    lo = 0.001 if kind == "linear" else 1.001
+    hix = (wc - 1.001) if kind == "linear" else (wc - 2.001)
+    hiy = (hc - 1.001) if kind == "linear" else (hc - 2.001)
+    x = jnp.clip(x_ref[:, 0], lo, hix)                     # (TN,)
+    y = jnp.clip(y_ref[:, 0], lo, hiy)
+
+    kx = jax.lax.broadcasted_iota(jnp.float32, (_TN, wc), 1)
+    tx = kx - x[:, None]
+    wx, dpx = _weights_dense(tx, kind)                     # (TN, Wc)
+    ky = jax.lax.broadcasted_iota(jnp.float32, (_TN, hc), 1)
+    ty = ky - y[:, None]
+    wy, dpy = _weights_dense(ty, kind)                     # (TN, Hc)
+
+    sub = sub_ref[:, :]                                    # (Hc, Wc)
+    # contract the x axis on the MXU: (TN, Wc) x (Hc, Wc)^T -> (TN, Hc)
+    dn = (((1,), (1,)), ((), ()))
+    tmp = jax.lax.dot_general(wx, sub, dn,
+                              preferred_element_type=jnp.float32)
+    tmp_dx = jax.lax.dot_general(-dpx, sub, dn,
+                                 preferred_element_type=jnp.float32)
+    val_ref[:, 0] = jnp.sum(wy * tmp, axis=1)
+    dx_ref[:, 0] = jnp.sum(wy * tmp_dx, axis=1)
+    dy_ref[:, 0] = jnp.sum(-dpy * tmp, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("kind", "crop", "interpret"))
+def sample_dense_pallas(img: Array, pts: Array, kind: str = "linear",
+                        crop: int | None = None, interpret: bool = False):
+    """Fused (val (N, 1), grad (N, 1, 2)) sampling for grayscale images."""
+    if img.ndim == 3:
+        if img.shape[-1] != 1:
+            raise ValueError("pallas dense sampler is single-channel")
+        img = img[..., 0]
+    h, w = img.shape
+    x, y = pts[:, 0], pts[:, 1]
+    if crop is not None and (crop < h or crop < w):
+        hc, wc = min(crop, h), min(crop, w)
+        x0 = jnp.clip(jnp.floor(jnp.min(x)) - 2.0, 0.0, float(w - wc))
+        y0 = jnp.clip(jnp.floor(jnp.min(y)) - 2.0, 0.0, float(h - hc))
+        sub = jax.lax.dynamic_slice(
+            img, (y0.astype(jnp.int32), x0.astype(jnp.int32)), (hc, wc))
+        x = x - x0
+        y = y - y0
+    else:
+        sub, hc, wc = img, h, w
+
+    n = pts.shape[0]
+    n_pad = ((n + _TN - 1) // _TN) * _TN
+    xp = jnp.zeros((n_pad, 1), jnp.float32).at[:n, 0].set(x)
+    yp = jnp.zeros((n_pad, 1), jnp.float32).at[:n, 0].set(y)
+
+    grid = (n_pad // _TN,)
+    blk = pl.BlockSpec((_TN, 1), lambda i: (i, 0),
+                       memory_space=pltpu.VMEM)
+    val, dx, dy = pl.pallas_call(
+        functools.partial(_kernel, kind, hc, wc),
+        grid=grid,
+        in_specs=[blk, blk,
+                  pl.BlockSpec((hc, wc), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(blk, blk, blk),
+        out_shape=(jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),) * 3,
+        interpret=interpret,
+    )(xp, yp, sub)
+    val = val[:n]
+    grad = jnp.stack([dx[:n], dy[:n]], axis=-1)            # (N, 1, 2)
+    return val, grad

@@ -118,7 +118,12 @@ class LKBase(SearchMethod):
         zero = jnp.zeros((S,), jnp.float32)
         pts = pts_fn(zero)
         Jpts = jax.jacfwd(pts_fn)(zero)         # (N, 2, S): no gathers
-        if prm.interp.endswith("_mm"):
+        if prm.interp.endswith("_mm") and prm.use_pallas and frame.ndim == 2:
+            from mtf_tpu.ops.pallas import sample_dense_pallas
+            patch, grad = sample_dense_pallas(
+                frame, pts, prm.interp[:-3], crop=prm.crop,
+                interpret=jax.default_backend() != "tpu")
+        elif prm.interp.endswith("_mm"):
             patch, grad = interp.sample_dense(
                 frame, pts, prm.interp[:-3], crop=prm.crop)
         else:
