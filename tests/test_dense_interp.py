@@ -46,6 +46,30 @@ def test_mm_kind_via_sample(img_pts):
                                atol=1e-3)
 
 
+@pytest.mark.parametrize("kind", ["linear", "cubic", "cubic_bspl"])
+def test_pallas_kernel_matches(img_pts, kind):
+    from mtf_tpu.ops.pallas import sample_dense_pallas
+    img, pts = img_pts
+    v1, g1 = interp.sample_with_grad(img, pts, kind)
+    v2, g2 = sample_dense_pallas(img, pts, kind, crop=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-3)
+
+
+def test_lk_tracks_through_pallas_path(test_image):
+    corners = jnp.asarray([[40, 40], [104, 40], [104, 104], [40, 104]],
+                          jnp.float32)
+    Wm = jnp.array([[1, 0, 1.5], [0, 1, -1.0], [0, 0, 1]], jnp.float32)
+    frame1 = synth.warp_image(jnp.asarray(test_image), Wm)
+    exp = np.asarray(corners) + np.array([1.5, -1.0], np.float32)
+    sm = create_tracker("fclk", "ssd", "8", resx=32, resy=32, max_iters=30,
+                        interp="linear_mm", crop=128, use_pallas=True)
+    st = sm.initialize(jnp.asarray(test_image), corners)
+    st = sm.update(st, frame1)
+    err = np.linalg.norm(np.asarray(sm.corners(st)).T - exp, axis=-1).mean()
+    assert err < 0.3, err
+
+
 def test_lk_tracks_through_dense_path(test_image):
     corners = jnp.asarray([[40, 40], [104, 40], [104, 104], [40, 104]],
                           jnp.float32)
