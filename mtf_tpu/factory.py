@@ -139,6 +139,12 @@ def create_tracker(sm: str = "fclk", am: str = "ssd", ssm: str = "8",
     def make_ssm():
         return get_ssm(ssm)
 
+    # HACLK: FCLK flavor whose Hessian is held at the converged template
+    # (HACLK.cc) — the self0 cached-Hessian mode
+    if sm_key == "haclk":
+        prm_h = replace(prm, hess_type="self0")
+        return SM_LK_REGISTRY["fclk"](make_am(), make_ssm(), prm_h)
+
     # LK family (incl. LM variants)
     if sm_key in SM_LK_REGISTRY:
         if sm_key in LM_KEYS:

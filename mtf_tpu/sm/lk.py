@@ -387,6 +387,11 @@ SM_LK_REGISTRY = {
     # Levenberg-Marquardt variants (reference eslm/fclm/iclm/falm/ialm keys)
     "eslm": ESM, "esl": ESM, "aelm": AESM, "fclm": FCLK, "iclm": ICLK,
     "falm": FALK, "ialm": IALK,
+    # reference variants that collapse under jit specialization:
+    # FESM = compile-time-specialized ESM (FESM.h:34-37), ESMH = legacy
+    # ESM (ESMH.h), IALK2 = alternate inverse-additive formulation,
+    # HACLK = FCLK with the converged-template Hessian (hess self0)
+    "fesm": ESM, "esmh": ESM, "ialk2": IALK,
 }
 
 LM_KEYS = {"eslm", "esl", "aelm", "fclm", "iclm", "falm", "ialm"}
