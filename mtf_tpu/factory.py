@@ -34,6 +34,7 @@ def _sm_params(cfg: dict) -> SMParams:
         border=str(cfg.get("border", "replicate")),
         crop=int(cfg["crop"]) if cfg.get("crop") else None,
         use_pallas=bool(cfg.get("use_pallas", False)),
+        interp_bf16=bool(cfg.get("interp_bf16", False)),
         hess_type=str(cfg.get("hess_type", "selft")),
         jac_type=str(cfg.get("jac_type", "original")),
         enable_lm=bool(cfg.get("enable_lm", False)),

@@ -56,6 +56,7 @@ class SMParams:
     border: str = "replicate"
     crop: int | None = None        # static crop window for dense sampling
     use_pallas: bool = False       # fused Pallas kernel for _mm sampling
+    interp_bf16: bool = False      # bf16 MXU contractions for _mm sampling
     hess_type: str = "self0"       # self0 | selft | std | std2 (ESMParams.h:13-18)
     jac_type: str = "original"     # original | diff_of_jacs (ESM)
     enable_lm: bool = False        # Levenberg-Marquardt damping w/ rollback

@@ -125,7 +125,8 @@ class LKBase(SearchMethod):
                 interpret=jax.default_backend() != "tpu")
         elif prm.interp.endswith("_mm"):
             patch, grad = interp.sample_dense(
-                frame, pts, prm.interp[:-3], crop=prm.crop)
+                frame, pts, prm.interp[:-3], crop=prm.crop,
+                compute_dtype=jnp.bfloat16 if prm.interp_bf16 else None)
         else:
             patch, grad = interp.sample_with_grad(frame, pts, prm.interp,
                                                   prm.border)
