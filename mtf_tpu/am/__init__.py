@@ -32,6 +32,12 @@ def get_am(key: str, params: AMParams | None = None, ilm=None) -> AM:
     """
     k = key.lower()
     params = params or AMParams()
+    if k == "sum":
+        # composite AM (mtf.h:1232-1235): sub-AM keys from the sum_am1 /
+        # sum_am2 parameters (modules.cfg defaults: ssd + ncc)
+        am1 = get_am(str(params.extra.get("sum_am1", "ssd")), params, ilm)
+        am2 = get_am(str(params.extra.get("sum_am2", "ncc")), params, ilm)
+        return SumOfAMs(am1, am2)
     if k.startswith("mc") and k[2:] in AM_REGISTRY:
         from dataclasses import replace
         params = replace(params, n_channels=3)

@@ -135,12 +135,14 @@ class SumOfAMs(AM):
                        p_am=self.ilm.identity_params(patch0.dtype),
                        extra=(self.am1.init(patch0), self.am2.init(patch0)))
 
-    def f(self, state: AMState, patch):
+    def _similarity(self, state, patch):
+        # weighted sum of sub-similarities on the (already illumination-
+        # corrected) patch; each sub-AM evaluates against its own sub-state
+        # so processed-template internals (ZNCC standardization, SCV remaps,
+        # PCA bases, ...) stay per-AM (SumOfAMs.cc:similarity)
         s1, s2 = state.extra
-        return self.w1 * self.am1.f(s1, patch) + self.w2 * self.am2.f(s2, patch)
-
-    def _similarity(self, state, patch):  # pragma: no cover - f overridden
-        raise NotImplementedError
+        return (self.w1 * self.am1._similarity(s1, patch)
+                + self.w2 * self.am2._similarity(s2, patch))
 
     def likelihood(self, state, patch):
         s1, s2 = state.extra

@@ -51,7 +51,8 @@ def _am_params(cfg: dict) -> AMParams:
         likelihood_alpha=float(cfg.get("likelihood_alpha", 50.0)),
         n_bins=int(cfg.get("n_bins", 8)),
         learning_rate=float(cfg.get("learning_rate", 0.0)),
-        extra=dict(cfg.get("am_extra", {})),
+        extra={**dict(cfg.get("am_extra", {})),
+               **{k: cfg[k] for k in ("sum_am1", "sum_am2") if k in cfg}},
     )
 
 
@@ -111,7 +112,7 @@ def _grid_params(cfg: dict, estimator: str | None = None) -> GridParams:
 _CASCADE_SHORTHAND = {
     "pfic": ("pf", "iclk"), "pffc": ("pf", "fclk"), "pfes": ("pf", "esm"),
     "nnic": ("nn", "iclk"), "nnfc": ("nn", "fclk"), "nnes": ("nn", "esm"),
-    "pfrk": ("pf", "rklt"),
+    "pfrk": ("pf", "rklt"), "nnrk": ("nn", "rklt"),
     "gric": ("grid", "iclk"), "grfc": ("grid", "fclk"), "gres": ("grid", "esm"),
 }
 
@@ -153,6 +154,34 @@ def create_tracker(sm: str = "fclk", am: str = "ssd", ssm: str = "8",
             return SM_LK_REGISTRY[sm_key](make_am(), make_ssm(), prm_lm)
         return SM_LK_REGISTRY[sm_key](make_am(), make_ssm(), prm)
 
+    # multi-layer PF / NN cascades (getPFk mtf.h:268-288, getNNk :290-309;
+    # composite keys :393-420, :451-478): k stochastic layers with
+    # per-layer sigma presets, optionally followed by an LK refiner
+    if sm_key in ("pfk", "pfkic", "pfkfc", "pfkes",
+                  "nnk", "nnkic", "nnkfc", "nnkes"):
+        stoch = "pf" if sm_key.startswith("pf") else "nn"
+        n_layers = int(cfg.get(f"{stoch}k_n_layers",
+                               3 if stoch == "pf" else 5))
+        layer_ids = cfg.get(f"{stoch}k_ssm_sigma_ids")
+        members = []
+        for layer in range(n_layers):
+            layer_cfg = dict(cfg)
+            if layer_ids:
+                # reference takes the last n_layers id-lists (mtf.h:280)
+                layer_cfg[f"{stoch}_ssm_sigma_ids"] = (
+                    list(layer_ids)[-n_layers:][layer])
+            else:
+                # coarse-to-fine default when no sigma presets are given
+                px_key = f"{stoch}_pix_sigma"
+                base_px = float(cfg.get(px_key,
+                                        3.0 if stoch == "pf" else 4.0))
+                layer_cfg[px_key] = base_px * (0.5 ** layer)
+            members.append(create_tracker(stoch, am, ssm, ilm, **layer_cfg))
+        refiner = {"ic": "iclk", "fc": "fclk", "es": "esm"}.get(sm_key[3:])
+        if refiner:
+            members.append(create_tracker(refiner, am, ssm, ilm, **cfg))
+        return CascadeSM(members)
+
     # particle filter + preset sizes (mtf.h:1325-1342)
     if sm_key.startswith("pf") and sm_key not in _CASCADE_SHORTHAND:
         n = None
@@ -186,11 +215,26 @@ def create_tracker(sm: str = "fclk", am: str = "ssd", ssm: str = "8",
         return LineTracker(make_am(), make_ssm(), prm, _grid_params(cfg),
                            lp)
 
-    # grid trackers + estimator variants
+    # grid trackers + estimator variants; grid_sm selects the per-patch
+    # tracker (mtf.h:748-803): "flow"/"cv" -> the batched-LK flow grid
+    # (pyramidal for "cv", GridTrackerCV.cc), anything else -> a vmapped
+    # grid of that SM (general GridTracker, GridTracker.cc:247-269)
     if sm_key in ("grid", "lms", "ransac", "rnsc"):
         est = {"lms": "lmeds", "ransac": "ransac", "rnsc": "ransac",
                "grid": None}[sm_key]
-        return GridTracker(make_am(), make_ssm(), prm, _grid_params(cfg, est))
+        grid_sm = str(cfg.get("grid_sm", "flow")).lower()
+        gp = _grid_params(cfg, est)
+        if grid_sm == "cv":
+            gp = replace(gp, pyramid_levels=int(
+                cfg.get("grid_pyramid_levels", 3)))
+        if grid_sm in ("flow", "cv"):
+            return GridTracker(make_am(), make_ssm(), prm, gp)
+        from mtf_tpu.sm.grid import SubTrackerGrid
+        sub_cfg = dict(cfg)
+        sub_cfg["resx"] = sub_cfg["resy"] = gp.patch_res
+        sub = create_tracker(grid_sm, str(cfg.get("grid_am", "ssd")),
+                             str(cfg.get("grid_ssm", "2")), ilm, **sub_cfg)
+        return SubTrackerGrid(sub, make_ssm(), prm, gp)
 
     # RKLT: grid + ESM-LM template refiner (ReadMe.md:432 SOTA config)
     if sm_key in ("rklt", "rkl", "lmes"):

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from mtf_tpu.ops import interp
 from mtf_tpu.ops import ransac
 from mtf_tpu.ops import warp as W
-from mtf_tpu.sm.core import SearchMethod, TrackerState
+from mtf_tpu.sm.core import SearchMethod, TrackerState, image_corners
 
 Array = jax.Array
 
@@ -42,11 +42,13 @@ class GridParams:
     inlier_thresh_px: float = 2.0   # image-pixel inlier threshold
     fb_err_px: float = -1.0     # forward-backward mask threshold (<0 = off)
     zncc: bool = True           # standardize patches (illumination robust)
+    pyramid_levels: int = 1     # coarse-to-fine flow (GridTrackerCV's
+                                # pyramidal LK, GridTrackerCV.cc:208-275)
     seed: int = 0
 
 
 class GridState(NamedTuple):
-    templates: Array      # (P, n, C) sub-patch templates
+    templates: Array      # (L, P, n, C) per-pyramid-level sub-patch templates
     offsets: Array        # (n, 2) template-frame offsets around each center
     centers0: Array       # (P, 2) template-frame patch centers
     key: Array
@@ -107,6 +109,31 @@ class GridTracker(SearchMethod):
 
         return jax.vmap(one_patch)(centers_t, templates)
 
+    def _pyr_frames(self, frame):
+        """Image pyramid, level 0 = full resolution (static level count)."""
+        frames = [frame]
+        for lvl in range(1, self.grid.pyramid_levels):
+            h, w = frame.shape[0] >> lvl, frame.shape[1] >> lvl
+            frames.append(jax.image.resize(
+                frame, (h, w) + frame.shape[2:], "linear"))
+        return frames
+
+    def _level_norm(self, norm_mat, lvl):
+        s = 1.0 / (2 ** lvl)
+        return jnp.diag(jnp.asarray([s, s, 1.0], norm_mat.dtype)) @ norm_mat
+
+    def _track_patches_pyr(self, frame, norm_mat, centers_t, offsets,
+                           templates, n_iters):
+        """Coarse-to-fine flow over the pyramid (GridTrackerCV.cc:208-275);
+        centers live in the scale-free template frame so they carry across
+        levels unchanged."""
+        frames = self._pyr_frames(frame)
+        for lvl in reversed(range(self.grid.pyramid_levels)):
+            centers_t = self._track_patches(
+                frames[lvl], self._level_norm(norm_mat, lvl), centers_t,
+                offsets, templates[lvl], n_iters)
+        return centers_t
+
     # -- SearchMethod hooks ---------------------------------------------
     def _init_extra(self, state: TrackerState, frame: Array):
         g = self.grid
@@ -125,12 +152,19 @@ class GridTracker(SearchMethod):
         ox, oy = jnp.meshgrid(o, o)
         offsets = jnp.stack([ox.ravel(), oy.ravel()], axis=-1)
 
-        def template_of(c):
-            pts = W.apply_warp(region.norm_mat, c[None, :] + offsets)
-            p = interp.sample(frame, pts, self.prm.interp, self.prm.border)
-            return _standardize(p) if g.zncc else p
+        frames_pyr = self._pyr_frames(frame)
 
-        templates = jax.vmap(template_of)(centers0)
+        def template_of(frm, norm_l):
+            def one(c):
+                pts = W.apply_warp(norm_l, c[None, :] + offsets)
+                p = interp.sample(frm, pts, self.prm.interp, self.prm.border)
+                return _standardize(p) if g.zncc else p
+            return jax.vmap(one)(centers0)
+
+        templates = jnp.stack([
+            template_of(frames_pyr[lvl], self._level_norm(region.norm_mat,
+                                                          lvl))
+            for lvl in range(g.pyramid_levels)])
         P = centers0.shape[0]
         return GridState(
             templates=templates, offsets=offsets, centers0=centers0,
@@ -146,14 +180,14 @@ class GridTracker(SearchMethod):
 
         # predict centers through current warp (reset-to-SSM policy)
         centers_pred = ssm.warp_pts(state.ssm_state, gs.centers0)
-        centers_new = self._track_patches(
+        centers_new = self._track_patches_pyr(
             frame, region.norm_mat, centers_pred, gs.offsets, gs.templates,
             g.sub_iters)
 
         weights = None
         if g.fb_err_px > 0 and gs.prev_frame is not None:
             # track back on the previous frame; large round-trip = occlusion
-            centers_back = self._track_patches(
+            centers_back = self._track_patches_pyr(
                 gs.prev_frame, region.norm_mat, centers_new, gs.offsets,
                 gs.templates, g.sub_iters)
             scale = region.norm_mat[0, 0]
@@ -171,4 +205,87 @@ class GridTracker(SearchMethod):
         new_extra = gs._replace(
             key=key, inlier_mask=inl,
             prev_frame=frame if g.fb_err_px > 0 else None)
+        return state._replace(ssm_state=new_ssm, extra=new_extra)
+
+
+class SubGridState(NamedTuple):
+    sub_states: TrackerState  # vmapped sub-tracker states (leading dim P)
+    centers0: Array           # (P, 2) template-frame patch centers
+    half_img: Array           # scalar: patch half-size in image pixels
+    key: Array
+    inlier_mask: Array        # (P,)
+
+
+class SubTrackerGrid(SearchMethod):
+    """Grid of *arbitrary* sub-trackers fused by a robust warp fit — the
+    reference's general GridTracker (GridTracker.cc:247-269: any grid_sm x
+    grid_am x grid_ssm per patch, TBB parallel-for + SSMEstimator). Here
+    the P sub-trackers are one vmapped pure `update`; the parallel-for is
+    a batch axis and scales onto a mesh via the same vmap.
+    """
+
+    name = "grid_sub"
+
+    def __init__(self, sub: SearchMethod, ssm, prm=None,
+                 grid: GridParams | None = None):
+        super().__init__(sub.am, ssm, prm)
+        self.sub = sub
+        self.grid = grid or GridParams()
+
+    def _patch_corners_img(self, norm_mat, centers_t, half_img):
+        """(P, 4, 2) image-space corner squares around each center."""
+        c_img = W.apply_warp(norm_mat, centers_t)
+        offs = jnp.asarray([[-1.0, -1.0], [1.0, -1.0], [1.0, 1.0],
+                            [-1.0, 1.0]], c_img.dtype)
+        return c_img[:, None, :] + half_img * offs[None, :, :]
+
+    def _init_extra(self, state: TrackerState, frame: Array):
+        g = self.grid
+        region = state.region
+        r = jnp.linspace(-0.5, 0.5, g.grid_res + 2)[1:-1]
+        cx, cy = jnp.meshgrid(r, r)
+        centers0 = jnp.stack([cx.ravel(), cy.ravel()], axis=-1)
+        H = W.homography_from_unit_square(region.base_corners)
+        centers0 = W.apply_warp(H, centers0)
+        spacing = 1.0 / (g.grid_res + 1)
+        half_img = g.patch_scale * spacing * region.norm_mat[0, 0]
+        corners_b = self._patch_corners_img(region.norm_mat, centers0,
+                                            half_img)
+        sub_states = jax.vmap(self.sub.initialize,
+                              in_axes=(None, 0))(frame, corners_b)
+        return SubGridState(
+            sub_states=sub_states, centers0=centers0, half_img=half_img,
+            key=jax.random.PRNGKey(g.seed),
+            inlier_mask=jnp.ones((centers0.shape[0],), jnp.float32))
+
+    def _update(self, state: TrackerState, frame: Array) -> TrackerState:
+        g, ssm = self.grid, self.ssm
+        gs: SubGridState = state.extra
+        region = state.region
+        key, k_fit = jax.random.split(gs.key)
+
+        sub_states = jax.vmap(self.sub.update,
+                              in_axes=(0, None))(gs.sub_states, frame)
+        # patch centers = mean of each sub-tracker's corners, pulled back
+        # into the parent template frame for the robust fit
+        corners_img = jax.vmap(
+            lambda s: image_corners(self.sub.ssm, s))(sub_states)  # (P,4,2)
+        centers_img = jnp.mean(corners_img, axis=1)
+        Tinv = jnp.linalg.inv(region.norm_mat)
+        centers_t = W.apply_warp(Tinv, centers_img)
+
+        scale = region.norm_mat[0, 0]
+        new_ssm, inl = ransac.robust_fit(
+            ssm, gs.centers0, centers_t, k_fit, method=g.estimator,
+            n_hyps=g.n_hyps, inlier_thresh=g.inlier_thresh_px / scale)
+
+        # reset-to-SSM policy (GridTracker reset/reinit, GridTracker.cc:294+):
+        # re-seat every sub-tracker on the fitted warp to stop drift
+        centers_fit = ssm.warp_pts(new_ssm, gs.centers0)
+        corners_b = self._patch_corners_img(region.norm_mat, centers_fit,
+                                            gs.half_img)
+        sub_states = jax.vmap(self.sub.set_region)(sub_states, corners_b)
+
+        new_extra = gs._replace(sub_states=sub_states, key=key,
+                                inlier_mask=inl)
         return state._replace(ssm_state=new_ssm, extra=new_extra)

@@ -139,3 +139,49 @@ def test_rklt_sota_config(base_image):
     sm = RKLT(grid, templ)
     errs, _ = run(sm, frames, gt)
     assert max(errs) < 1.0, f"errors {errs}"
+
+
+def test_grid_tracker_pyramidal_flow(base_image):
+    """grid_sm="cv" analog: coarse-to-fine pyramidal LK flow
+    (GridTrackerCV.cc:208-275) handles larger motion than one level."""
+    ssm_gen = get_ssm("hom")
+    frames, gt = synthetic_sequence(base_image, jnp.asarray(CORNERS0),
+                                    ssm_gen, n_frames=5, sigma_scale=0.01,
+                                    seed=23)
+    am = get_am("ssd", AMParams(resx=8, resy=8))
+    sm = GridTracker(am, get_ssm("hom"),
+                     grid=GridParams(grid_res=8, patch_res=8, sub_iters=8,
+                                     pyramid_levels=3))
+    errs, _ = run(sm, frames, gt)
+    assert max(errs) < 3.0, f"errors {errs}"
+
+
+def test_sub_tracker_grid(base_image):
+    """General GridTracker (GridTracker.cc:247-269): arbitrary SM per patch,
+    vmapped, fused by robust fit."""
+    from mtf_tpu.sm.grid import SubTrackerGrid
+    ssm_gen = get_ssm("hom")
+    frames, gt = synthetic_sequence(base_image, jnp.asarray(CORNERS0),
+                                    ssm_gen, n_frames=5, sigma_scale=0.01,
+                                    seed=24)
+    am8 = get_am("ssd", AMParams(resx=8, resy=8))
+    sub = ICLK(am8, get_ssm("2"), SMParams(max_iters=8, epsilon=0.0))
+    sm = SubTrackerGrid(sub, get_ssm("hom"),
+                        grid=GridParams(grid_res=8, patch_res=8))
+    errs, state = run(sm, frames, gt)
+    assert max(errs) < 1.0, f"errors {errs}"
+    assert state.extra.inlier_mask.shape == (64,)
+
+
+def test_grid_sm_factory_dispatch():
+    """grid_sm cfg key routes to flow / pyramidal / sub-tracker grids
+    (mtf.h:748-803)."""
+    from mtf_tpu import create_tracker
+    from mtf_tpu.sm.grid import GridTracker as GT, SubTrackerGrid as STG
+    t1 = create_tracker("grid", "ssd", "8", grid_res=4)
+    assert isinstance(t1, GT) and t1.grid.pyramid_levels == 1
+    t2 = create_tracker("grid", "ssd", "8", grid_res=4, grid_sm="cv")
+    assert isinstance(t2, GT) and t2.grid.pyramid_levels == 3
+    t3 = create_tracker("grid", "ssd", "8", grid_res=4, grid_sm="iclk",
+                        grid_ssm="2", max_iters=4)
+    assert isinstance(t3, STG)

@@ -11,9 +11,10 @@ SM_KEYS = ("esm aesm iclk ic fclk fc falk fa ialk ia eslm esl aelm iclm "
            "fclm falm ialm fcsd pf pf100 pf250 pf500 pf1k pfic pffc pfes "
            "nn nnkdt kdt nnkmn kmn gnn fgnn nn1k nn2k nnic nnfc nnes feat "
            "grid lms ransac rnsc gric grfc gres rklt rkl lmes hrch line "
-           "regnet").split()
+           "regnet pfk pfkic pfkfc pfkes nnk nnkic nnkfc nnkes nnrk "
+           "pfrk").split()
 AM_KEYS = ("ssd sad nssd zncc scv lscv rscv lrscv kld lkld mi spss ssim "
-           "ncc ccre riu ngf pca dfm mcssd ncc3").split()
+           "ncc ccre riu ngf pca dfm mcssd ncc3 sum").split()
 SSM_KEYS = ("lhom l8 cbh c8 sl3 hom 8 aff 6 laff l6 asrt 5 sim 4 iso 3 "
             "ast 4s ist 3s trans 2 spline spl tps").split()
 COMPOSITE_KEYS = "casc casm prl prlt prls prsm".split()
