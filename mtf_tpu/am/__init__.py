@@ -4,6 +4,7 @@ Multichannel (`mc*`) variants are the same classes with n_channels=3
 (the reference's 12 MC* subclasses collapse to a channel axis here,
 SURVEY.md §2.2).
 """
+from mtf_tpu.utils.excp import InvalidArgument
 from mtf_tpu.am.base import AM, AMParams, AMState, IlluminationModel  # noqa: F401
 from mtf_tpu.am.base import jacobian, gn_hessian, self_hessian  # noqa: F401
 from mtf_tpu.am.ssd import SSD, NSSD, ZNCC, SAD
@@ -47,7 +48,7 @@ def get_am(key: str, params: AMParams | None = None, ilm=None) -> AM:
         params = replace(params, n_channels=3)
         k = k[:-1]
     if k not in AM_REGISTRY:
-        raise ValueError(f"unknown AM {key!r}; known: {sorted(AM_REGISTRY)}")
+        raise InvalidArgument(f"unknown AM {key!r}; known: {sorted(AM_REGISTRY)}")
     cls = AM_REGISTRY[k]
     if ilm is not None and isinstance(ilm, str):
         from mtf_tpu.am.ilm import ILM_REGISTRY

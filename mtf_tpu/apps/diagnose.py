@@ -27,6 +27,8 @@ def main(argv=None):
     p.add_argument("--validate", action="store_true")
     p.add_argument("--prec", type=float, default=1e-2)
     p.add_argument("--out_dir", default="log")
+    p.add_argument("--plot", action="store_true",
+                   help="render sweep curves to <out_dir>/<base>.png")
     p.add_argument("--platform", default="cpu")
     args = p.parse_args(argv)
 
@@ -65,11 +67,24 @@ def main(argv=None):
               f"{rep.max_hess_err:.2e} -> {'OK' if rep.ok else 'FAIL'}")
         base = diag.write_curves(rep, args.out_dir)
         print(f"curves written to {args.out_dir}/{base}_dim*.txt")
+        if args.plot:
+            import os
+            png = diag.plot_curves(rep, os.path.join(args.out_dir,
+                                                     f"{base}.png"))
+            print(f"plot written to {png}")
         return 0 if rep.ok else 1
     sweeps = diag.sweep(img, corners, args.span, args.n_pts)
     for d, (xs, ys) in sweeps.items():
         print(f"dim {d}: f({xs[0]:+.3f})={ys[0]:.4f}  f(0)="
               f"{ys[len(ys) // 2]:.4f}  f({xs[-1]:+.3f})={ys[-1]:.4f}")
+    if args.plot:
+        import os
+        from mtf_tpu.diagnostics import DiagnosticsReport
+        rep = DiagnosticsReport(am=args.am, ssm=args.ssm, sweeps=sweeps)
+        base = f"diag_{args.am.lower()}_{args.ssm}"
+        png = diag.plot_curves(rep, os.path.join(args.out_dir,
+                                                 f"{base}.png"))
+        print(f"plot written to {png}")
     return 0
 
 

@@ -141,6 +141,11 @@ def main(argv=None):
                 errors.append(np.nan)
                 tracked.append(corners)
                 continue
+            if invalid:
+                from mtf_tpu.utils.excp import InvalidTrackerState
+                raise InvalidTrackerState(
+                    f"non-finite corners at frame {t} "
+                    "(enable --reinit_on_failure to recover)")
             errors.append(err)
             # per-frame evaluation protocols (runMTF.cc:560-599): measure
             # single-frame tracking quality by re-anchoring to GT

@@ -157,3 +157,31 @@ class Diagnostics:
             np.savetxt(os.path.join(out_dir, f"{base}_dim{d}.txt"),
                        np.stack([xs, ys], axis=1), fmt="%.6e")
         return base
+
+    def plot_curves(self, report: DiagnosticsReport, out_path: str):
+        """Render the per-dimension similarity sweeps to one figure
+        (`graphUtils` analog: the curves `diagnoseMTF` shows live)."""
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        dims = sorted(report.sweeps)
+        ncol = min(4, max(1, len(dims)))
+        nrow = (len(dims) + ncol - 1) // ncol
+        fig, axes = plt.subplots(nrow, ncol, squeeze=False,
+                                 figsize=(3.2 * ncol, 2.6 * nrow))
+        for i, d in enumerate(dims):
+            ax = axes[i // ncol][i % ncol]
+            xs, ys = report.sweeps[d]
+            ax.plot(xs, ys, lw=1.2)
+            ax.axvline(0.0, color="0.7", lw=0.6)
+            ax.set_title(f"dim {d}", fontsize=9)
+            ax.tick_params(labelsize=7)
+        for j in range(len(dims), nrow * ncol):
+            axes[j // ncol][j % ncol].axis("off")
+        fig.suptitle(f"{report.am} x {report.ssm} similarity sweeps",
+                     fontsize=11)
+        fig.tight_layout()
+        fig.savefig(out_path, dpi=110)
+        plt.close(fig)
+        return out_path

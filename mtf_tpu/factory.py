@@ -13,6 +13,8 @@ cascade shorthands (pfic, pffc, pfes, nnic, nnfc, nnes, pfrk).
 """
 from __future__ import annotations
 
+from mtf_tpu.utils.excp import InvalidArgument
+
 from dataclasses import replace
 from typing import Any
 
@@ -190,7 +192,7 @@ def create_tracker(sm: str = "fclk", am: str = "ssd", ssm: str = "8",
             n = {"100": 100, "250": 250, "500": 500, "1k": 1000,
                  "2k": 2000, "5k": 5000}.get(suffix)
             if n is None:
-                raise ValueError(f"unknown PF variant {sm!r}")
+                raise InvalidArgument(f"unknown PF variant {sm!r}")
         return PF(make_am(), make_ssm(), prm, _pf_params(cfg, n))
 
     # nearest neighbour + preset sizes (mtf.h:654-668); gnn/fgnn/kdt/kmn
@@ -204,7 +206,7 @@ def create_tracker(sm: str = "fclk", am: str = "ssd", ssm: str = "8",
             n = {"1k": 1000, "2k": 2000, "5k": 5000, "10k": 10000,
                  "100k": 100000}.get(suffix)
             if n is None:
-                raise ValueError(f"unknown NN variant {sm!r}")
+                raise InvalidArgument(f"unknown NN variant {sm!r}")
         return NN(make_am(), make_ssm(), prm, _nn_params(cfg, n))
 
     # line-constrained grid tracker (LineTracker.cc)
@@ -295,7 +297,7 @@ def create_tracker(sm: str = "fclk", am: str = "ssd", ssm: str = "8",
             return CascadeSM(create_trackers_from_multi(
                 cfg.pop("multi_cfg"), **cfg))
         if not members:
-            raise ValueError("casc requires members=[(sm, am, ssm), ...] "
+            raise InvalidArgument("casc requires members=[(sm, am, ssm), ...] "
                              "or multi_cfg=<path>")
         return CascadeSM([create_tracker(m_sm, m_am, m_ssm, ilm, **cfg)
                           for (m_sm, m_am, m_ssm) in members])
@@ -305,7 +307,7 @@ def create_tracker(sm: str = "fclk", am: str = "ssd", ssm: str = "8",
             return ParallelSM(create_trackers_from_multi(
                 cfg.pop("multi_cfg"), **cfg))
         if not members:
-            raise ValueError("prl requires members=[(sm, am, ssm), ...] "
+            raise InvalidArgument("prl requires members=[(sm, am, ssm), ...] "
                              "or multi_cfg=<path>")
         return ParallelSM([create_tracker(m_sm, m_am, m_ssm, ilm, **cfg)
                            for (m_sm, m_am, m_ssm) in members])
@@ -315,7 +317,7 @@ def create_tracker(sm: str = "fclk", am: str = "ssd", ssm: str = "8",
         return PyramidalSM(create_tracker(base_key, am, ssm, ilm, **cfg),
                            n_levels)
 
-    raise ValueError(f"unknown SM key {sm!r}")
+    raise InvalidArgument(f"unknown SM key {sm!r}")
 
 
 def create_trackers_from_multi(path_or_text: str, **base_cfg):

@@ -1,3 +1,4 @@
+from mtf_tpu.utils.excp import InvalidArgument
 from mtf_tpu.ssm.base import SSM  # noqa: F401
 from mtf_tpu.ssm.projective import SSM_REGISTRY  # noqa: F401
 
@@ -12,5 +13,5 @@ def get_ssm(key: str) -> SSM:
     except ImportError:
         pass
     if k not in reg:
-        raise ValueError(f"unknown SSM {key!r}; known: {sorted(reg)}")
+        raise InvalidArgument(f"unknown SSM {key!r}; known: {sorted(reg)}")
     return reg[k]()
