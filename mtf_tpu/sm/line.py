@@ -103,7 +103,7 @@ class LineTracker(GridTracker):
         key, k_fit = jax.random.split(gs.key)
 
         centers_pred = ssm.warp_pts(state.ssm_state, gs.centers0)
-        centers_new = self._track_patches(
+        centers_new = self._track_patches_pyr(
             frame, region.norm_mat, centers_pred, gs.offsets, gs.templates,
             g.sub_iters)
 
