@@ -289,6 +289,38 @@ def sample_dense(img: Array, pts: Array, kind: str = LINEAR,
     return val, jnp.stack([dx, dy], axis=-1)
 
 
+def sample_dense_blocked(img: Array, pts: Array, kind: str = LINEAR,
+                         crop: int = 64, grid_shape: tuple[int, int] = (50, 50),
+                         blocks: tuple[int, int] = (2, 2),
+                         compute_dtype=None):
+    """Tiled dense sampling: split the (resy, resx) point grid into
+    `blocks` spatial tiles and run `sample_dense` with a per-tile crop.
+
+    The dense contraction costs N*Hc*Wc MACs; each tile only spans
+    ~1/blocks of the patch, so a (2, 2) split with half the crop cuts the
+    matmul work ~4x while keeping MXU-friendly shapes. `crop` here is the
+    PER-TILE window — it must cover the largest tile span plus the interp
+    margin. Points must be the row-major (y outer) grid the SMs use
+    (`unit_square_grid`).
+    """
+    by, bx = blocks
+    ry, rx = grid_shape
+    if ry % by or rx % bx:
+        raise ValueError(f"grid {grid_shape} not divisible by {blocks}")
+    bh, bw = ry // by, rx // bx
+    p = pts.reshape(by, bh, bx, bw, 2).transpose(0, 2, 1, 3, 4) \
+           .reshape(by * bx, bh * bw, 2)
+    val, grad = jax.vmap(
+        lambda pb: sample_dense(img, pb, kind, crop,
+                                compute_dtype=compute_dtype))(p)
+    c = val.shape[-1]
+    val = val.reshape(by, bx, bh, bw, c).transpose(0, 2, 1, 3, 4) \
+             .reshape(ry * rx, c)
+    grad = grad.reshape(by, bx, bh, bw, c, 2).transpose(0, 2, 1, 3, 4, 5) \
+               .reshape(ry * rx, c, 2)
+    return val, grad
+
+
 def sample_grad(img: Array, pts: Array, kind: str = LINEAR,
                 border: str = REPLICATE, cval: float = 0.0) -> Array:
     """Analytic image gradient at sampled points -> (N, C, 2).

@@ -55,6 +55,8 @@ class SMParams:
     interp: str = "linear"         # + "<kind>_mm" = dense-matmul sampling
     border: str = "replicate"
     crop: int | None = None        # static crop window for dense sampling
+    crop_blocks: tuple | None = None  # (by, bx) tiled dense sampling; crop
+                                   # becomes the per-tile window
     use_pallas: bool = False       # fused Pallas kernel for _mm sampling
     interp_bf16: bool = False      # bf16 MXU contractions for _mm sampling
     hess_type: str = "self0"       # self0 | selft | std | std2 (ESMParams.h:13-18)

@@ -123,6 +123,12 @@ class LKBase(SearchMethod):
             patch, grad = sample_dense_pallas(
                 frame, pts, prm.interp[:-3], crop=prm.crop,
                 interpret=jax.default_backend() != "tpu")
+        elif prm.interp.endswith("_mm") and prm.crop_blocks is not None:
+            patch, grad = interp.sample_dense_blocked(
+                frame, pts, prm.interp[:-3], crop=prm.crop,
+                grid_shape=(self.am.prm.resy, self.am.prm.resx),
+                blocks=tuple(prm.crop_blocks),
+                compute_dtype=jnp.bfloat16 if prm.interp_bf16 else None)
         elif prm.interp.endswith("_mm"):
             patch, grad = interp.sample_dense(
                 frame, pts, prm.interp[:-3], crop=prm.crop,

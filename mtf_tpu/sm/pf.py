@@ -152,7 +152,9 @@ class PF(SearchMethod):
             mean_c = jnp.sum(w[:, None, None] * corners, axis=0)
             mean_state = ssm.fit_pts(state.region.base_corners, mean_c)
         else:
-            mean_state = jnp.sum(w[:, None] * prop, axis=0)
+            # Euclidean for additive SSMs; iterative Karcher mean for Lie
+            # parameterizations (ssm.mean_of_samples override)
+            mean_state = ssm.mean_of_samples(prop, w)
 
         new_extra = PFState(particles=prop, prev_particles=prev_out,
                             log_weights=log_w, key=key)

@@ -205,6 +205,15 @@ class SSM:
         (exact for Lie parameterizations, first-order otherwise)."""
         return state * a
 
+    def mean_of_samples(self, states: Array, weights: Array) -> Array:
+        """Weighted mean of a (P, S) state batch.
+
+        Default: Euclidean mean of state vectors (exact for additive
+        parameterizations; `estimateMeanOfSamples`,
+        StateSpaceModel.h:286-338). Lie SSMs override with the iterative
+        Karcher mean (SL3.cc's iterative sample mean)."""
+        return jnp.sum(weights[:, None] * states, axis=0)
+
     def state_sigma_from_pixel_sigma(self, pix_sigma: Array,
                                      pts: Array) -> Array:
         """Map a desired RMS point displacement (pixels) to per-parameter
@@ -242,3 +251,20 @@ class ExpSSM(SSM):
 
     def _normalize(self, mat: Array) -> Array:
         return mat / mat[2, 2]
+
+    def mean_of_samples(self, states: Array, weights: Array,
+                        iters: int = 4) -> Array:
+        """Iterative Karcher mean on the group (SL3.cc's iterative sample
+        mean): mu <- mu ∘ exp(sum_i w_i log(mu^-1 ∘ s_i))."""
+        mu = jnp.sum(weights[:, None] * states, axis=0)
+        for _ in range(iters):
+            Minv = jnp.linalg.inv(self.to_matrix(mu))
+
+            def rel(s):
+                return self.project_algebra(
+                    logm_3x3(self._normalize(Minv @ self.to_matrix(s))))
+
+            d = jax.vmap(rel)(states)
+            mu = self.compositional_update(
+                mu, jnp.sum(weights[:, None] * d, axis=0))
+        return mu

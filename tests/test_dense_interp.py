@@ -85,3 +85,21 @@ def test_lk_tracks_through_dense_path(test_image):
         err = np.linalg.norm(np.asarray(sm.corners(st)).T - exp,
                              axis=-1).mean()
         assert err < 0.3, (kw, err)
+
+
+def test_blocked_dense_matches(img_pts):
+    """Tiled dense sampling == monolithic dense sampling (per-tile crop)."""
+    import jax.numpy as jnp
+
+    from mtf_tpu.ops import interp
+    from mtf_tpu.ops import warp as W
+
+    img, _ = img_pts
+    corners = jnp.asarray([[20.3, 15.7], [80.9, 17.2], [83.1, 70.8],
+                           [18.2, 68.9]], jnp.float32)
+    pts = W.grid_from_corners(corners, 20, 20)
+    v0, g0 = interp.sample_dense(img, pts, "linear")
+    v1, g1 = interp.sample_dense_blocked(img, pts, "linear", crop=48,
+                                         grid_shape=(20, 20), blocks=(2, 2))
+    assert float(jnp.max(jnp.abs(v0 - v1))) < 1e-4
+    assert float(jnp.max(jnp.abs(g0 - g1))) < 1e-4

@@ -104,3 +104,32 @@ def test_registry_aliases():
     assert type(get_ssm("8")) is type(get_ssm("hom"))
     assert type(get_ssm("2")) is type(get_ssm("trans"))
     assert get_ssm("sl3").dof == 8
+
+
+def test_mean_of_samples_karcher():
+    """Lie SSMs use the iterative Karcher mean (SL3.cc sample mean):
+    the weighted log-residual at the mean must vanish."""
+    import jax
+    import jax.numpy as jnp
+
+    import mtf_tpu.ssm.base as B
+    from mtf_tpu.ssm import get_ssm
+
+    ssm = get_ssm("sl3")
+    v = 0.3 * jax.random.normal(jax.random.PRNGKey(0), (ssm.dof,))
+    states = jnp.stack([v, -v, 0.5 * v])
+    w = jnp.asarray([0.5, 0.3, 0.2])
+    mu = ssm.mean_of_samples(states, w)
+    Minv = jnp.linalg.inv(ssm.to_matrix(mu))
+
+    def rel(s):
+        M = Minv @ ssm.to_matrix(s)
+        return ssm.project_algebra(B.logm_3x3(M / M[2, 2]))
+
+    resid = jnp.sum(w[:, None] * jax.vmap(rel)(states), axis=0)
+    assert float(jnp.max(jnp.abs(resid))) < 1e-4
+
+    # additive SSMs: plain weighted Euclidean mean
+    hom = get_ssm("8")
+    mu_h = hom.mean_of_samples(states, w)
+    assert jnp.allclose(mu_h, jnp.sum(w[:, None] * states, axis=0))
