@@ -35,6 +35,8 @@ def _sm_params(cfg: dict) -> SMParams:
         interp=str(cfg.get("interp", "linear")),
         border=str(cfg.get("border", "replicate")),
         crop=int(cfg["crop"]) if cfg.get("crop") else None,
+        crop_blocks=tuple(cfg["crop_blocks"])
+            if cfg.get("crop_blocks") else None,
         use_pallas=bool(cfg.get("use_pallas", False)),
         interp_bf16=bool(cfg.get("interp_bf16", False)),
         hess_type=str(cfg.get("hess_type", "selft")),
@@ -71,7 +73,18 @@ def _sigma_from_ids(cfg: dict, ids_key: str) -> tuple:
 
 
 def _pf_params(cfg: dict, n_particles: int | None = None) -> PFParams:
+    # multiple sigma presets selected -> multi-distribution sampler with
+    # adaptive weights (reference multi-sampler PF, mtf.h:268-309)
+    sigmas = tuple(tuple(v) for v in cfg.get("pf_ssm_sigmas", ()))
+    ids = cfg.get("pf_ssm_sigma_ids")
+    if not sigmas and ids is not None and "_presets" in cfg:
+        from mtf_tpu.utils.config import resolve_sigma_presets
+        vecs = resolve_sigma_presets(cfg, ids)
+        if len(vecs) > 1:
+            sigmas = tuple(tuple(v) for v in vecs)
     return PFParams(
+        ssm_sigmas=sigmas,
+        adapt_distr=bool(cfg.get("pf_adapt_distr", True)),
         n_particles=int(n_particles or cfg.get("pf_n_particles", 200)),
         dynamic_model=str(cfg.get("pf_dynamic_model", "rw")),
         update_type=str(cfg.get("pf_update_type", "compositional")),
@@ -82,6 +95,7 @@ def _pf_params(cfg: dict, n_particles: int | None = None) -> PFParams:
         ssm_sigma=tuple(cfg.get("pf_ssm_sigma", ())) or
         _sigma_from_ids(cfg, "pf_ssm_sigma_ids"),
         measurement_sigma=float(cfg.get("pf_measurement_sigma", 0.1)),
+        jacobian_as_sigma=bool(cfg.get("pf_jacobian_as_sigma", False)),
         seed=int(cfg.get("seed", 0)),
     )
 
@@ -93,6 +107,8 @@ def _nn_params(cfg: dict, n_samples: int | None = None) -> NNParams:
         pix_sigma=float(cfg.get("nn_pix_sigma", 4.0)),
         ssm_sigma=tuple(cfg.get("nn_ssm_sigma", ())) or
         _sigma_from_ids(cfg, "nn_ssm_sigma_ids"),
+        add_samples_gap=int(cfg.get("nn_add_samples_gap", 0)),
+        n_samples_to_add=int(cfg.get("nn_n_samples_to_add", 8)),
         seed=int(cfg.get("seed", 0)),
     )
 
@@ -246,7 +262,8 @@ def create_tracker(sm: str = "fclk", am: str = "ssd", ssm: str = "8",
         templ = SM_LK_REGISTRY["esm"](make_am(), make_ssm(), templ_prm)
         rklt_prm = RKLTParams(
             failure_thresh_px=float(cfg.get("rklt_failure_thresh", 15.0)),
-            enable_feedback=bool(cfg.get("rklt_feedback", True)))
+            enable_feedback=bool(cfg.get("rklt_feedback", True)),
+            enable_spi=bool(cfg.get("enable_spi", False)))
         return RKLT(grid, templ, rklt_prm)
 
     # learned regression-network SM (NT/RegNet.cc analog)

@@ -148,7 +148,8 @@ class RKLTParams:
     """Reference RKLTParams analog."""
     failure_thresh_px: float = 15.0  # template-vs-grid corner divergence
     enable_feedback: bool = True     # grid follows the final estimate
-    enable_spi: bool = False         # reserved: grid inlier mask -> template SM
+    enable_spi: bool = False         # grid inlier mask -> template-SM SPI
+                                     # (NT/RKLT.cc:100)
 
 
 class RKLT:
@@ -177,7 +178,23 @@ class RKLT:
         grid_corners = image_corners(self.grid_sm.ssm, grid_st)
 
         templ_st = self.templ_sm.set_region(templ_st, grid_corners)
+        if self.prm.enable_spi:
+            # grid inlier mask -> per-pixel SPI weights for the template
+            # SM: each template pixel inherits the inlier flag of the grid
+            # cell it falls in (NT/RKLT.cc:100)
+            inl = grid_st.extra.inlier_mask                    # (R*R,)
+            R = self.grid_sm.grid.grid_res
+            resy = self.templ_sm.am.prm.resy
+            resx = self.templ_sm.am.prm.resx
+            ri = jnp.arange(resy) * R // resy
+            ci = jnp.arange(resx) * R // resx
+            pix = inl.reshape(R, R)[ri[:, None], ci[None, :]]  # (resy, resx)
+            templ_st = templ_st._replace(spi_mask=pix.reshape(-1))
         templ_st = self.templ_sm.update(templ_st, frame)
+        if self.prm.enable_spi:
+            # restore a mask-free pytree so state structure is identical
+            # across frames (scan/while carries require it)
+            templ_st = templ_st._replace(spi_mask=None)
         templ_corners = image_corners(self.templ_sm.ssm, templ_st)
 
         # failure detection (NT/RKLT.cc:105-111)

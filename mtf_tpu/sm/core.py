@@ -44,6 +44,8 @@ class TrackerState(NamedTuple):
     am_state: AMState
     region: RegionState
     extra: Any = ()       # SM-specific (cached ICLK Jacobians, PF particles…)
+    spi_mask: Any = None  # optional external (N,) pixel mask (RKLT feeds
+                          # the grid inlier mask here, NT/RKLT.cc:100)
 
 
 @dataclass(frozen=True)

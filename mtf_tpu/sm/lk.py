@@ -188,11 +188,18 @@ class LKBase(SearchMethod):
 
         # SPI: per-pixel weights gating Jacobian/gradient rows
         # (spiUtils masks; weighted GN solves J^T W^2 J dp = J^T W^2 r)
+        mask = None
         if prm.spi_type:
             from mtf_tpu.ops.spi import compute_spi_mask
             mask = compute_spi_mask(
                 prm.spi_type, st0.template, patch,
                 am.prm.resy, am.prm.resx, prm.spi_thresh)       # (N,)
+        if state.spi_mask is not None:
+            # external mask (RKLT grid-inlier feedback) composes with any
+            # intrinsic SPI criterion
+            ext = state.spi_mask.astype(patch.dtype)
+            mask = ext if mask is None else mask * ext
+        if mask is not None:
             wm = jnp.repeat(mask, patch.size // mask.shape[0])  # (NC,)
             J = J * wm[:, None]
             cache = cache._replace(J0=cache.J0 * wm[:, None])

@@ -35,6 +35,10 @@ class NNParams:
     pix_sigma: float = 4.0
     ssm_sigma: tuple = ()      # explicit per-dof sigmas (overrides pix_sigma)
     epsilon: float = 0.01      # corner-change convergence threshold
+    add_samples_gap: int = 0   # frames between online dataset updates;
+                               # 0 disables (NNParams.h:29-33)
+    n_samples_to_add: int = 8  # ring-replaced per update (oldest evicted,
+                               # keeping the dataset at n_samples)
     seed: int = 0
 
 
@@ -42,6 +46,9 @@ class NNState(NamedTuple):
     feats: Array     # (K, D) dataset distance-features
     feats_sq: Array  # (K,) cached squared norms
     dps: Array       # (K, S) stored perturbations
+    ptr: Array       # () int32 ring pointer for online sample addition
+    frame_idx: Array  # () int32 frames since initialize
+    key: Array       # online-sampling PRNG
 
 
 class NN(SearchMethod):
@@ -86,7 +93,10 @@ class NN(SearchMethod):
         dps_inv = jax.vmap(self.ssm.invert)(dps)
         return NNState(feats=feats,
                        feats_sq=jnp.sum(feats * feats, axis=-1),
-                       dps=dps_inv)
+                       dps=dps_inv,
+                       ptr=jnp.zeros((), jnp.int32),
+                       frame_idx=jnp.zeros((), jnp.int32),
+                       key=jax.random.PRNGKey(self.nn.seed + 1))
 
     def _update(self, state: TrackerState, frame: Array) -> TrackerState:
         ssm, nn = self.ssm, self.nn
@@ -115,7 +125,38 @@ class NN(SearchMethod):
         s_out, _, _ = jax.lax.while_loop(
             cond, body, (state.ssm_state, jnp.zeros((), jnp.int32),
                          jnp.asarray(False)))
-        new_state = state._replace(ssm_state=s_out)
+        new_extra = ns._replace(frame_idx=ns.frame_idx + 1)
+        if nn.add_samples_gap > 0:
+            # online dataset update (NNParams.h:29-33): ring-replace the
+            # oldest non-identity samples with fresh perturbations around
+            # the converged state, featurized from the CURRENT frame
+            A, K = nn.n_samples_to_add, nn.n_samples
+            key, k_add = jax.random.split(ns.key)
+            sigma = self._sigma(state.region)
+            dp_new = sigma[None, :] * jax.random.normal(
+                k_add, (A, ssm.dof), jnp.float32)
+
+            def feat_of(dp):
+                s_k = ssm.compositional_update(s_out, dp)
+                return self.am.dist_feat(
+                    self._patch_at(state.region, s_k, frame))
+
+            f_new = jax.vmap(feat_of)(dp_new)                  # (A, D)
+            dp_inv = jax.vmap(ssm.invert)(dp_new)
+            idx = 1 + (ns.ptr + jnp.arange(A)) % (K - 1)       # skip id 0
+            fire = (ns.frame_idx % nn.add_samples_gap) == 0
+            feats = ns.feats.at[idx].set(
+                jnp.where(fire, f_new, ns.feats[idx]))
+            new_extra = new_extra._replace(
+                feats=feats,
+                feats_sq=ns.feats_sq.at[idx].set(
+                    jnp.where(fire, jnp.sum(f_new * f_new, -1),
+                              ns.feats_sq[idx])),
+                dps=ns.dps.at[idx].set(
+                    jnp.where(fire, dp_inv, ns.dps[idx])),
+                ptr=ns.ptr + jnp.where(fire, A, 0),
+                key=key)
+        new_state = state._replace(ssm_state=s_out, extra=new_extra)
         patch = self._patch_at(state.region, s_out, frame)
         return new_state._replace(
             am_state=self.am.update_model(state.am_state, patch))

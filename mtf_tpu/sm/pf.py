@@ -40,9 +40,16 @@ class PFParams:
     mean_type: str = "weighted"       # weighted | corner | best
     pix_sigma: float = 3.0            # drives state sigma if ssm_sigma empty
     ssm_sigma: tuple = ()             # explicit per-dof sigma (overrides)
+    ssm_sigmas: tuple = ()            # multiple sampler distributions
+                                      # ((s..),(s..),..); adaptive weights
+                                      # (reference multi-distr PF samplers)
+    adapt_distr: bool = True          # re-weight distributions by their
+                                      # particles' likelihood mass
     ar_alpha: float = 0.5
     n_eff_ratio: float = 0.5          # adaptive resampling threshold
     measurement_sigma: float = 0.1    # gaussian likelihood scale
+    jacobian_as_sigma: bool = False   # sampler sigma from one GN step
+                                      # (NT/PF.cc:214-227)
     seed: int = 0
 
 
@@ -51,6 +58,7 @@ class PFState(NamedTuple):
     prev_particles: Array  # (P, S) for AR(1)
     log_weights: Array     # (P,)
     key: Array
+    distr_log_w: Array = None  # (D,) adaptive sampler-distribution weights
 
 
 class PF(SearchMethod):
@@ -88,11 +96,13 @@ class PF(SearchMethod):
     def _init_extra(self, state: TrackerState, frame: Array):
         P = self.pf.n_particles
         particles = jnp.tile(state.ssm_state[None, :], (P, 1))
+        D = max(1, len(self.pf.ssm_sigmas))
         return PFState(
             particles=particles,
             prev_particles=particles,
             log_weights=jnp.full((P,), -jnp.log(P), jnp.float32),
-            key=jax.random.PRNGKey(self.pf.seed))
+            key=jax.random.PRNGKey(self.pf.seed),
+            distr_log_w=jnp.full((D,), -jnp.log(D), jnp.float32))
 
     def _update(self, state: TrackerState, frame: Array) -> TrackerState:
         ssm, am, pf = self.ssm, self.am, self.pf
@@ -100,18 +110,53 @@ class PF(SearchMethod):
         ps: PFState = state.extra
         sigma = self._sigma(state.region)
         compositional = pf.update_type == "compositional"
+        if pf.jacobian_as_sigma:
+            # sampler sigma = magnitude of one Gauss-Newton step at the
+            # current state (NT/PF.cc:214-227): exploration widens exactly
+            # where the similarity surface says the state is uncertain
+            region = state.region
 
-        key, k_prop, k_res = jax.random.split(ps.key, 3)
+            def pts_fn(dp):
+                pts_t = ssm.warp_pts_from(state.ssm_state, dp,
+                                          region.base_pts, compositional)
+                return W.apply_warp(region.norm_mat, pts_t)
+
+            zero = jnp.zeros((ssm.dof,), jnp.float32)
+            Jpts = jax.jacfwd(pts_fn)(zero)                   # (N, 2, S)
+            patch = interp.sample(frame, pts_fn(zero), self.prm.interp,
+                                  self.prm.border)
+            grad = interp.sample_grad(frame, pts_fn(zero), self.prm.interp,
+                                      self.prm.border)        # (N, C, 2)
+            J = jnp.einsum("ncd,nds->ncs", grad, Jpts) \
+                   .reshape(-1, ssm.dof)                      # (NC, S)
+            g = am.grad_corrected(state.am_state, patch).reshape(-1)
+            H = J.T @ J + 1e-6 * jnp.eye(ssm.dof)
+            step = jnp.linalg.solve(H, J.T @ g)
+            sigma = jnp.maximum(jnp.abs(step), 0.1 * sigma)
+
+        key, k_prop, k_res, k_distr = jax.random.split(ps.key, 4)
         prop_keys = jax.random.split(k_prop, P)
+
+        # per-particle sigma: single distribution, or one of D presets
+        # drawn from the adaptive distribution weights
+        n_distr = max(1, len(pf.ssm_sigmas))
+        if pf.ssm_sigmas and not pf.jacobian_as_sigma:
+            sigmas = jnp.asarray(pf.ssm_sigmas, jnp.float32)   # (D, S)
+            d_idx = jax.random.categorical(k_distr, ps.distr_log_w,
+                                           shape=(P,))
+            sig_p = sigmas[d_idx]                              # (P, S)
+        else:
+            d_idx = jnp.zeros((P,), jnp.int32)
+            sig_p = jnp.broadcast_to(sigma, (P, sigma.shape[0]))
 
         # 1. propagate (vmap over particles; NT/PF.cc:261 loop)
         if pf.dynamic_model == "ar1":
-            prop = jax.vmap(lambda k, s, sp: ssm.auto_regression1(
-                k, s, sp, sigma, pf.ar_alpha, compositional))(
-                    prop_keys, ps.particles, ps.prev_particles)
+            prop = jax.vmap(lambda k, s, sp, sg: ssm.auto_regression1(
+                k, s, sp, sg, pf.ar_alpha, compositional))(
+                    prop_keys, ps.particles, ps.prev_particles, sig_p)
         else:
-            prop = jax.vmap(lambda k, s: ssm.random_walk(
-                k, s, sigma, compositional))(prop_keys, ps.particles)
+            prop = jax.vmap(lambda k, s, sg: ssm.random_walk(
+                k, s, sg, compositional))(prop_keys, ps.particles, sig_p)
 
         # 2. measure (batched patch gather + likelihood)
         patches = jax.vmap(
@@ -124,6 +169,17 @@ class PF(SearchMethod):
         # 3. adaptive resampling (parallel systematic; NT/PF.cc:450-480)
         w = jnp.exp(log_w)
         n_eff = 1.0 / jnp.maximum(jnp.sum(w * w), 1e-30)
+
+        # adaptive distribution weights: EMA toward each distribution's
+        # share of the likelihood mass (multi-sampler PF)
+        if n_distr > 1 and pf.adapt_distr:
+            mass = jax.ops.segment_sum(w, d_idx, num_segments=n_distr)
+            mass = mass + 1e-6
+            new_dlw = jnp.log(0.5 * jnp.exp(ps.distr_log_w)
+                              + 0.5 * mass / jnp.sum(mass))
+            new_dlw = new_dlw - jax.scipy.special.logsumexp(new_dlw)
+        else:
+            new_dlw = ps.distr_log_w
 
         def resample(args):
             prop, prev, log_w = args
@@ -157,7 +213,8 @@ class PF(SearchMethod):
             mean_state = ssm.mean_of_samples(prop, w)
 
         new_extra = PFState(particles=prop, prev_particles=prev_out,
-                            log_weights=log_w, key=key)
+                            log_weights=log_w, key=key,
+                            distr_log_w=new_dlw)
         new_state = state._replace(ssm_state=mean_state, extra=new_extra)
         patch = self._particle_patch(state.region, mean_state, frame)
         return new_state._replace(

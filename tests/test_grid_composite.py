@@ -185,3 +185,23 @@ def test_grid_sm_factory_dispatch():
     t3 = create_tracker("grid", "ssd", "8", grid_res=4, grid_sm="iclk",
                         grid_ssm="2", max_iters=4)
     assert isinstance(t3, STG)
+
+
+def test_rklt_spi_feedback(test_image):
+    """NT/RKLT.cc:100: grid inlier mask feeds the template SM as SPI."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mtf_tpu import create_tracker
+
+    trk = create_tracker("rklt", "ssd", "8", enable_spi=True)
+    assert trk.prm.enable_spi
+    h, w = np.asarray(test_image).shape[:2]
+    c = jnp.asarray([[w/2-40, h/2-30], [w/2+40, h/2-30],
+                     [w/2+40, h/2+30], [w/2-40, h/2+30]], jnp.float32)
+    st = trk.initialize(jnp.asarray(test_image), c)
+    st = trk.update(st, jnp.asarray(test_image))
+    out = np.asarray(trk.corners(st))
+    assert np.all(np.isfinite(out))
+    assert float(np.max(np.abs(out.T - np.asarray(c)))) < 5.0

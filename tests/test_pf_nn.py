@@ -86,3 +86,63 @@ def test_nn_identity_sample_keeps_match(base_image):
     state2 = jax.jit(sm.update)(state, base_image)
     c = np.asarray(image_corners(sm.ssm, state2))
     assert mean_corner_distance(c, CORNERS0) < 0.5
+
+
+def test_pf_jacobian_as_sigma(test_image):
+    """NT/PF.cc:214-227: sampler sigma from one GN step."""
+    import jax
+    import jax.numpy as jnp
+
+    from mtf_tpu import create_tracker
+
+    trk = create_tracker("pf", "ssd", "2", pf_jacobian_as_sigma=True,
+                         pf_n_particles=50)
+    assert trk.pf.jacobian_as_sigma
+    c = jnp.asarray([[40, 30], [90, 30], [90, 80], [40, 80]], jnp.float32)
+    st = trk.initialize(jnp.asarray(test_image), c)
+    st = jax.jit(trk.update)(st, jnp.asarray(test_image))
+    import numpy as np
+    assert np.all(np.isfinite(np.asarray(trk.corners(st))))
+
+
+def test_nn_online_sample_addition(test_image):
+    """NNParams.h:29-33: ring-replacement of dataset samples."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mtf_tpu import create_tracker
+
+    trk = create_tracker("nn", "ssd", "2", nn_n_samples=64,
+                         nn_add_samples_gap=1, nn_n_samples_to_add=4)
+    c = jnp.asarray([[40, 30], [90, 30], [90, 80], [40, 80]], jnp.float32)
+    st = trk.initialize(jnp.asarray(test_image), c)
+    feats0 = np.asarray(st.extra.feats).copy()
+    st = jax.jit(trk.update)(st, jnp.asarray(test_image))
+    assert int(st.extra.ptr) == 4
+    assert int(st.extra.frame_idx) == 1
+    # identity sample 0 untouched; some ring slots replaced
+    assert np.allclose(np.asarray(st.extra.feats)[0], feats0[0])
+    assert not np.allclose(np.asarray(st.extra.feats)[1:5], feats0[1:5])
+
+
+def test_pf_multi_distribution_adaptive(test_image):
+    """Multi-sampler PF: adaptive distribution weights shift toward the
+    distribution whose particles carry the likelihood mass."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mtf_tpu import create_tracker
+
+    trk = create_tracker("pf", "ssd", "2", pf_n_particles=120,
+                         pf_ssm_sigmas=((0.01, 0.01), (0.3, 0.3)))
+    c = jnp.asarray([[40, 30], [90, 30], [90, 80], [40, 80]], jnp.float32)
+    st = trk.initialize(jnp.asarray(test_image), c)
+    upd = jax.jit(trk.update)
+    for _ in range(4):
+        st = upd(st, jnp.asarray(test_image))
+    w = np.exp(np.asarray(st.extra.distr_log_w))
+    # static scene: the tight distribution must dominate
+    assert w[0] > w[1]
+    assert abs(w.sum() - 1.0) < 1e-4
