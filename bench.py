@@ -79,7 +79,13 @@ def _measure_chip():
 
 
 def _measure_cpu_baseline():
-    """Single-stream, single-CPU-device denominator (cached)."""
+    """Single-stream single-CORE CPU denominator (cached).
+
+    The reference's tracking hot loop is single-threaded C++/Eigen (TBB
+    is off by default and "has not shown significant performance
+    improvements", ReadMe.md:128-130), so the honest per-device
+    comparison pins the jax-CPU run to one core (taskset) and takes the
+    median of 3 runs."""
     if os.path.exists(BASELINE_CACHE):
         with open(BASELINE_CACHE) as f:
             return json.load(f)["fps"]
@@ -110,13 +116,20 @@ for _ in range(K):
 jax.block_until_ready(state)
 print(json.dumps({"fps": K / (time.perf_counter() - t0)}))
 """ % (RES, RES)
-    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
-                         text=True, timeout=600,
-                         cwd=os.path.dirname(os.path.abspath(__file__)))
-    fps = json.loads(out.stdout.strip().splitlines()[-1])["fps"]
+    runs = []
+    for _ in range(3):
+        argv = [sys.executable, "-c", code]
+        if os.path.exists("/usr/bin/taskset"):
+            argv = ["/usr/bin/taskset", "-c", "0"] + argv
+        out = subprocess.run(argv, capture_output=True, text=True,
+                             timeout=600,
+                             cwd=os.path.dirname(os.path.abspath(__file__)))
+        runs.append(json.loads(out.stdout.strip().splitlines()[-1])["fps"])
+    fps = sorted(runs)[len(runs) // 2]
     os.makedirs(os.path.dirname(BASELINE_CACHE), exist_ok=True)
     with open(BASELINE_CACHE, "w") as f:
-        json.dump({"fps": fps, "config": f"fclk/ssd/8 {RES}x{RES} cpu"}, f)
+        json.dump({"fps": fps, "runs": runs,
+                   "config": f"fclk/ssd/8 {RES}x{RES} cpu 1-core median-of-3"}, f)
     return fps
 
 
