@@ -28,6 +28,13 @@ from mtf_tpu.sm.pf import PF, PFParams
 from mtf_tpu.ssm import get_ssm
 
 
+def _casc_thresh(cfg: dict) -> float | None:
+    """Cascade auto-reinit divergence threshold (CascadeTracker.cc:25-40);
+    None disables."""
+    v = cfg.get("casc_reinit_thresh")
+    return float(v) if v is not None else None
+
+
 def _sm_params(cfg: dict) -> SMParams:
     return SMParams(
         max_iters=int(cfg.get("max_iters", 30)),
@@ -198,7 +205,7 @@ def create_tracker(sm: str = "fclk", am: str = "ssd", ssm: str = "8",
         refiner = {"ic": "iclk", "fc": "fclk", "es": "esm"}.get(sm_key[3:])
         if refiner:
             members.append(create_tracker(refiner, am, ssm, ilm, **cfg))
-        return CascadeSM(members)
+        return CascadeSM(members, _casc_thresh(cfg))
 
     # particle filter + preset sizes (mtf.h:1325-1342)
     if sm_key.startswith("pf") and sm_key not in _CASCADE_SHORTHAND:
@@ -296,7 +303,8 @@ def create_tracker(sm: str = "fclk", am: str = "ssd", ssm: str = "8",
     if sm_key in _CASCADE_SHORTHAND:
         first, second = _CASCADE_SHORTHAND[sm_key]
         return CascadeSM([create_tracker(first, am, ssm, ilm, **cfg),
-                          create_tracker(second, am, ssm, ilm, **cfg)])
+                          create_tracker(second, am, ssm, ilm, **cfg)],
+                         _casc_thresh(cfg))
 
     # hierarchical SM (HESM.h:61-99): low-DOF stage seeds the full-DOF
     # stage — a cascade over SSMs of the same SM
@@ -304,7 +312,8 @@ def create_tracker(sm: str = "fclk", am: str = "ssd", ssm: str = "8",
         base = str(cfg.get("hrch_sm", "esm"))
         low = str(cfg.get("hrch_ssm", "2"))
         return CascadeSM([create_tracker(base, am, low, ilm, **cfg),
-                          create_tracker(base, am, ssm, ilm, **cfg)])
+                          create_tracker(base, am, ssm, ilm, **cfg)],
+                         _casc_thresh(cfg))
 
     # explicit composites; members from explicit tuples or a multi.cfg
     # block file (Config/multi.cfg / readTrackerParams, parameters.h:4029)
@@ -312,12 +321,13 @@ def create_tracker(sm: str = "fclk", am: str = "ssd", ssm: str = "8",
         members = cfg.get("members")
         if not members and "multi_cfg" in cfg:
             return CascadeSM(create_trackers_from_multi(
-                cfg.pop("multi_cfg"), **cfg))
+                cfg.pop("multi_cfg"), **cfg), _casc_thresh(cfg))
         if not members:
             raise InvalidArgument("casc requires members=[(sm, am, ssm), ...] "
                              "or multi_cfg=<path>")
         return CascadeSM([create_tracker(m_sm, m_am, m_ssm, ilm, **cfg)
-                          for (m_sm, m_am, m_ssm) in members])
+                          for (m_sm, m_am, m_ssm) in members],
+                         _casc_thresh(cfg))
     if sm_key in ("prl", "prlt", "prls", "prsm", "parallel"):
         members = cfg.get("members")
         if not members and "multi_cfg" in cfg:

@@ -29,12 +29,17 @@ class CompositeState(NamedTuple):
 class CascadeSM:
     """Sequential composition: member k starts from member k-1's corners
     (reference CascadeSM.cc; registry composites like `nnic`, `pffc`,
-    mtf.h:344-478). Members may differ in SM/AM/SSM."""
+    mtf.h:344-478). Members may differ in SM/AM/SSM.
+
+    `auto_reinit_thresh`: when a member's result diverges from its input
+    region by more than this many pixels, it is reset to the previous
+    member's estimate (CascadeTracker.cc:25-40 auto-reinit)."""
 
     name = "casc"
 
-    def __init__(self, members: list):
+    def __init__(self, members: list, auto_reinit_thresh: float | None = None):
         self.members = members
+        self.auto_reinit_thresh = auto_reinit_thresh
         self.ssm = members[-1].ssm  # corners reported by the last member
 
     def initialize(self, frame, corners):
@@ -48,7 +53,15 @@ class CascadeSM:
             if corners is not None:
                 st = m.set_region(st, corners)
             st = m.update(st, frame)
-            corners = image_corners(m.ssm, st)
+            c_new = image_corners(m.ssm, st)
+            if self.auto_reinit_thresh is not None and corners is not None:
+                div = jnp.max(jnp.linalg.norm(
+                    c_new - corners, axis=-1)) > self.auto_reinit_thresh
+                st = jax.lax.cond(
+                    div, lambda s, c=corners, mm=m: mm.set_region(s, c),
+                    lambda s: s, st)
+                c_new = jnp.where(div, corners, c_new)
+            corners = c_new
             new_members.append(st)
         return CompositeState(tuple(new_members))
 

@@ -58,10 +58,13 @@ class LKBase(SearchMethod):
     use_esm_jac = False     # True -> mean of init+curr Jacobians
 
     # -- patch-as-function-of-update ---------------------------------
-    def _patch_fn(self, region, ssm_state, p_am, frame):
+    def _patch_fn(self, region, ssm_state, p_am, frame, offset=None):
         """Returns q -> illumination-corrected patch (N, C),
         q = [dp_ssm, dp_am]. The warp Jacobian at q=0 equals the
-        generator-basis chain the reference uses (SURVEY.md §3.2)."""
+        generator-basis chain the reference uses (SURVEY.md §3.2).
+
+        `offset`: (2,) crop origin when `frame` is a pre-cropped window
+        (the per-update hoisted crop, see _update)."""
         am, ssm, prm = self.am, self.ssm, self.prm
         S = ssm.dof
 
@@ -70,6 +73,8 @@ class LKBase(SearchMethod):
             pts_t = ssm.warp_pts_from(ssm_state, dp, region.base_pts,
                                       self.compositional)
             pts = W.apply_warp(region.norm_mat, pts_t)
+            if offset is not None:
+                pts = pts - offset
             patch = interp.sample(frame, pts, prm.interp, prm.border)
             return am.ilm.apply(patch, p_am + dpam)
 
@@ -98,7 +103,7 @@ class LKBase(SearchMethod):
         J = jax.jacfwd(fn)(jnp.zeros((q_dim,), jnp.float32))
         return J.reshape(-1, q_dim)
 
-    def _patch_and_jac(self, region, ssm_state, p_am, frame):
+    def _patch_and_jac(self, region, ssm_state, p_am, frame, offset=None):
         """One-gather Jacobian chain -> (corrected patch (N,C), J (NC,Q)).
 
         jacfwd through the sampler costs Q tangent gather passes; the
@@ -118,20 +123,25 @@ class LKBase(SearchMethod):
         zero = jnp.zeros((S,), jnp.float32)
         pts = pts_fn(zero)
         Jpts = jax.jacfwd(pts_fn)(zero)         # (N, 2, S): no gathers
+        crop_arg = prm.crop
+        if offset is not None:
+            # frame is already the hoisted per-update crop window
+            pts = pts - offset
+            crop_arg = None
         if prm.interp.endswith("_mm") and prm.use_pallas and frame.ndim == 2:
             from mtf_tpu.ops.pallas import sample_dense_pallas
             patch, grad = sample_dense_pallas(
-                frame, pts, prm.interp[:-3], crop=prm.crop,
+                frame, pts, prm.interp[:-3], crop=crop_arg,
                 interpret=jax.default_backend() != "tpu")
         elif prm.interp.endswith("_mm") and prm.crop_blocks is not None:
             patch, grad = interp.sample_dense_blocked(
-                frame, pts, prm.interp[:-3], crop=prm.crop,
+                frame, pts, prm.interp[:-3], crop=crop_arg or 64,
                 grid_shape=(self.am.prm.resy, self.am.prm.resx),
                 blocks=tuple(prm.crop_blocks),
                 compute_dtype=jnp.bfloat16 if prm.interp_bf16 else None)
         elif prm.interp.endswith("_mm"):
             patch, grad = interp.sample_dense(
-                frame, pts, prm.interp[:-3], crop=prm.crop,
+                frame, pts, prm.interp[:-3], crop=crop_arg,
                 compute_dtype=jnp.bfloat16 if prm.interp_bf16 else None)
         else:
             patch, grad = interp.sample_with_grad(frame, pts, prm.interp,
@@ -176,7 +186,8 @@ class LKBase(SearchMethod):
         return LKCache(J0=J_full[:, : self.ssm.dof], H0=H0)
 
     # -- one GN/LM iteration -------------------------------------------
-    def _iteration(self, state: TrackerState, frame: Array, carry: _LKCarry):
+    def _iteration(self, state: TrackerState, frame: Array, carry: _LKCarry,
+                   offset=None):
         am, ssm, prm = self.am, self.ssm, self.prm
         S, P = ssm.dof, am.ilm.n_params
         q_dim = S + P
@@ -184,7 +195,7 @@ class LKBase(SearchMethod):
         cache: LKCache = state.extra
 
         patch, J = self._patch_and_jac(
-            state.region, carry.ssm_state, carry.p_am, frame)
+            state.region, carry.ssm_state, carry.p_am, frame, offset)
 
         # SPI: per-pixel weights gating Jacobian/gradient rows
         # (spiUtils masks; weighted GN solves J^T W^2 J dp = J^T W^2 r)
@@ -249,7 +260,7 @@ class LKBase(SearchMethod):
             # full second-order Newton Hessian: AD through the sampler
             # (slow path; kept for the reference's 2nd-order variants)
             fn2 = self._patch_fn(state.region, carry.ssm_state,
-                                 carry.p_am, frame)
+                                 carry.p_am, frame, offset)
             E = lambda q: am.f_corrected(st0, fn2(q))
             H = jax.hessian(E)(jnp.zeros((q_dim,), jnp.float32))
         else:
@@ -279,12 +290,39 @@ class LKBase(SearchMethod):
         am, ssm, prm = self.am, self.ssm, self.prm
         q_dim = self._q_dim
 
+        # Hoist the crop OUT of the iteration loop: a vmapped
+        # dynamic_slice lowers to a serial while loop on TPU (~40% of the
+        # fleet sampling pass when done per iteration); the window barely
+        # moves within one update, so slice once here and sample from the
+        # window with shifted coordinates (crop margin absorbs the
+        # intra-update motion).
+        frame_eff, offset = frame, None
+        if (prm.interp.endswith("_mm") and prm.crop is not None
+                and prm.crop_blocks is None):
+            h, w = frame.shape[0], frame.shape[1]
+            hc, wc = min(prm.crop, h), min(prm.crop, w)
+            if hc < h or wc < w:
+                pts_t0 = ssm.warp_pts(state.ssm_state, state.region.base_pts)
+                pts0 = W.apply_warp(state.region.norm_mat, pts_t0)
+                x0 = jnp.clip(jnp.floor(jnp.min(pts0[:, 0])) - 2.0,
+                              0.0, float(w - wc))
+                y0 = jnp.clip(jnp.floor(jnp.min(pts0[:, 1])) - 2.0,
+                              0.0, float(h - hc))
+                starts = (y0.astype(jnp.int32), x0.astype(jnp.int32))
+                if frame.ndim == 3:
+                    frame_eff = jax.lax.dynamic_slice(
+                        frame, starts + (0,), (hc, wc, frame.shape[2]))
+                else:
+                    frame_eff = jax.lax.dynamic_slice(frame, starts,
+                                                      (hc, wc))
+                offset = jnp.stack([x0, y0])
+
         def corners_of(s):
             c_t = ssm.warp_pts(s, state.region.base_corners)
             return W.apply_warp(state.region.norm_mat, c_t)
 
         def f_of(s, pam):
-            fn = self._patch_fn(state.region, s, pam, frame)
+            fn = self._patch_fn(state.region, s, pam, frame_eff, offset)
             return am.f_corrected(
                 state.am_state._replace(p_am=pam),
                 fn(jnp.zeros((q_dim,), jnp.float32)))
@@ -294,7 +332,7 @@ class LKBase(SearchMethod):
                                    jnp.logical_not(c.done))
 
         def body(c: _LKCarry):
-            dq, patch, j = self._iteration(state, frame, c)
+            dq, patch, j = self._iteration(state, frame_eff, c, offset)
             new_ssm, new_pam = self._apply_dq(c.ssm_state, c.p_am, dq)
             corner_change = jnp.max(jnp.linalg.norm(
                 corners_of(new_ssm) - corners_of(c.ssm_state), axis=-1))
@@ -324,7 +362,8 @@ class LKBase(SearchMethod):
         new_am = state.am_state._replace(p_am=out.p_am)
         new_state = state._replace(ssm_state=out.ssm_state, am_state=new_am)
         # online template learning (PCA etc., NT/FCLK.cc:353)
-        fn = self._patch_fn(state.region, out.ssm_state, out.p_am, frame)
+        fn = self._patch_fn(state.region, out.ssm_state, out.p_am,
+                            frame_eff, offset)
         final_patch = fn(jnp.zeros((q_dim,), jnp.float32))
         new_am2 = am.update_model(new_am, final_patch)
         return new_state._replace(am_state=new_am2)

@@ -205,3 +205,23 @@ def test_rklt_spi_feedback(test_image):
     out = np.asarray(trk.corners(st))
     assert np.all(np.isfinite(out))
     assert float(np.max(np.abs(out.T - np.asarray(c)))) < 5.0
+
+
+def test_cascade_auto_reinit(test_image):
+    """CascadeTracker.cc:25-40: a diverging member snaps back to the
+    previous member's region."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mtf_tpu import create_tracker
+
+    trk = create_tracker("pffc", "ssd", "2", casc_reinit_thresh=5.0,
+                         pf_n_particles=30)
+    assert trk.auto_reinit_thresh == 5.0
+    c = jnp.asarray([[40, 30], [90, 30], [90, 80], [40, 80]], jnp.float32)
+    st = trk.initialize(jnp.asarray(test_image), c)
+    st = trk.update(st, jnp.asarray(test_image))
+    out = np.asarray(trk.corners(st)).T
+    assert np.all(np.isfinite(out))
+    # static scene: final estimate stays within the reinit threshold
+    assert float(np.max(np.abs(out - np.asarray(c)))) < 6.0
