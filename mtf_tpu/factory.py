@@ -173,6 +173,9 @@ def create_tracker(sm: str = "fclk", am: str = "ssd", ssm: str = "8",
         return SM_LK_REGISTRY["fclk"](make_am(), make_ssm(), prm_h)
 
     # LK family (incl. LM variants)
+    if sm_key in ("iclk", "ic", "iclm") and "hess_type" not in cfg:
+        # reference ships ic_hess_type 0 = InitialSelf (modules.cfg:98)
+        prm = replace(prm, hess_type="self0")
     if sm_key in SM_LK_REGISTRY:
         if sm_key in LM_KEYS:
             prm_lm = replace(prm, enable_lm=True)

@@ -100,7 +100,8 @@ class GridTracker(SearchMethod):
                 scale = norm_mat[0, 0]
                 J = J * scale
                 H = J.T @ J + 1e-6 * jnp.eye(2)
-                d = jnp.linalg.solve(H, J.T @ r)
+                from mtf_tpu.ops.linalg import solve2x2
+                d = solve2x2(H, J.T @ r)
                 return disp - d
 
             disp = jax.lax.fori_loop(0, n_iters, body,

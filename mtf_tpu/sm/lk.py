@@ -29,6 +29,7 @@ import jax.numpy as jnp
 from mtf_tpu.am.base import AMState
 from mtf_tpu.ops import interp
 from mtf_tpu.ops import warp as W
+from mtf_tpu.ops.linalg import neg_def_solve
 from mtf_tpu.sm.core import SearchMethod, TrackerState
 
 Array = jax.Array
@@ -271,7 +272,9 @@ class LKBase(SearchMethod):
         damp = carry.lm_delta if prm.enable_lm else 0.0
         Hd = H - damp * jnp.diag(jnp.abs(jnp.diag(H))) \
                - 1e-7 * jnp.eye(q_dim, dtype=H.dtype)
-        dq = -jnp.linalg.solve(Hd, j)
+        # (-Hd) is SPD (damped GN Hessian at a maximum); the unrolled
+        # Cholesky avoids the LU custom call (~505 us/iter at fleet scale)
+        dq = neg_def_solve(Hd, j)
         return dq, patch, j
 
     def _apply_dq(self, ssm_state, p_am, dq):
