@@ -99,3 +99,18 @@ def test_run_mtf_cli(tmp_path):
     assert err < 0.5
     assert os.path.exists(tmp_path / "tracking_stats.txt")
     assert os.path.exists(tmp_path / "synthetic_fclk_ssd_2.sr")
+
+
+def test_dataset_registry_all_actors():
+    """All 18 reference actors (datasets.h:867-929) with exact counts."""
+    from mtf_tpu.utils.datasets import ACTORS, SEQUENCES
+
+    expected = {
+        "TMT": 109, "UCSB": 96, "LinTrack": 3, "LinTrackShort": 14,
+        "PAMI": 28, "TMT_FINE": 24, "PTW": 210, "METAIO": 40, "CMT": 20,
+        "VOT": 25, "VOT16": 60, "VTB": 100, "VIVID": 9, "TrakMark": 21,
+        "Mosaic": 17, "Misc": 5, "Synthetic": 25, "Live": 0,
+    }
+    assert set(ACTORS) == set(expected)
+    for actor, n in expected.items():
+        assert len(SEQUENCES[actor]) == n, actor
