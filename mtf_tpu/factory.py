@@ -221,8 +221,10 @@ def create_tracker(sm: str = "fclk", am: str = "ssd", ssm: str = "8",
                 raise InvalidArgument(f"unknown PF variant {sm!r}")
         return PF(make_am(), make_ssm(), prm, _pf_params(cfg, n))
 
-    # nearest neighbour + preset sizes (mtf.h:654-668); gnn/fgnn/kdt/kmn
-    # keys map to the same exact brute-force search
+    # nearest neighbour + preset sizes (mtf.h:654-668); kdt/kmn keys map
+    # to the exact brute-force MXU search (supersedes FLANN's approximate
+    # KD-tree/KMeans indices); gnn/fgnn select greedy kNN-graph descent
+    # (GNN.cc/FGNN.h semantics)
     if sm_key in ("gnn", "fgnn", "nnkdt", "kdt", "nnkmn", "kmn") or (
             sm_key.startswith("nn") and sm_key not in _CASCADE_SHORTHAND):
         n = None
@@ -233,7 +235,12 @@ def create_tracker(sm: str = "fclk", am: str = "ssd", ssm: str = "8",
                  "100k": 100000}.get(suffix)
             if n is None:
                 raise InvalidArgument(f"unknown NN variant {sm!r}")
-        return NN(make_am(), make_ssm(), prm, _nn_params(cfg, n))
+        nn_prm = _nn_params(cfg, n)
+        if sm_key in ("gnn", "fgnn") or bool(cfg.get("nn_use_gnn", False)):
+            nn_prm = replace(nn_prm, use_gnn=True,
+                             gnn_k=int(cfg.get("gnn_k", 10)),
+                             gnn_max_steps=int(cfg.get("gnn_max_steps", 32)))
+        return NN(make_am(), make_ssm(), prm, nn_prm)
 
     # line-constrained grid tracker (LineTracker.cc)
     if sm_key == "line":

@@ -11,6 +11,14 @@ brute-force distance computation is one (K, D) x (D,) MXU matmul and beats
 graph traversal while keeping exact-NN semantics. Dataset generation is a
 single vmapped warp+gather over all K samples. Index save/load (reference
 NNParams.h:35-37) is plain array serialization of the extra pytree.
+
+GNN semantics (reference `GNN.h:31-80` greedy kNN-graph descent) are kept
+as an option (`use_gnn`, factory keys `gnn`/`fgnn`): the graph build is a
+blocked (K, K) distance matmul + `top_k` (replacing the reference's
+O(K^2 D) scalar loops, `GNN.cc buildGraph`), and the query-time greedy
+descent is a `lax.while_loop` over gathered neighbor rows — sub-linear in
+K like the original, useful for the nn100k-scale datasets where the
+brute-force scan's K*D matmul stops being free.
 """
 from __future__ import annotations
 
@@ -39,6 +47,9 @@ class NNParams:
                                # 0 disables (NNParams.h:29-33)
     n_samples_to_add: int = 8  # ring-replaced per update (oldest evicted,
                                # keeping the dataset at n_samples)
+    use_gnn: bool = False      # greedy kNN-graph descent (GNN.h:31-80)
+    gnn_k: int = 10            # neighbors per graph node
+    gnn_max_steps: int = 32    # descent-step cap (graph diameter bound)
     seed: int = 0
 
 
@@ -49,6 +60,41 @@ class NNState(NamedTuple):
     ptr: Array       # () int32 ring pointer for online sample addition
     frame_idx: Array  # () int32 frames since initialize
     key: Array       # online-sampling PRNG
+    graph: Array | None = None  # (K, gnn_k) int32 kNN graph (GNN mode)
+
+
+def build_knn_graph(feats: Array, feats_sq: Array, k: int,
+                    block: int = 256) -> Array:
+    """kNN graph over the dataset: blocked (K, K) distance matmul +
+    top_k per row (reference GNN::buildGraph, GNN.cc — there an
+    O(K^2 D) scalar double loop)."""
+    K = feats.shape[0]
+
+    def row_block(args):
+        f_blk, fsq_blk = args           # (B, D), (B,)
+        d = (fsq_blk[:, None] - 2.0 * (f_blk @ feats.T)
+             + feats_sq[None, :])       # (B, K)
+        # a node is not its own neighbor: top_k on the negated distance
+        # after masking the diagonal handled by caller via +inf trick is
+        # awkward blockwise — instead take k+1 and drop self below.
+        _, idx = jax.lax.top_k(-d, k + 1)
+        return idx                      # (B, k+1)
+
+    n_blk = -(-K // block)
+    pad = n_blk * block - K
+    f_p = jnp.pad(feats, ((0, pad), (0, 0)))
+    fsq_p = jnp.pad(feats_sq, (0, pad))
+    idx = jax.lax.map(row_block,
+                      (f_p.reshape(n_blk, block, -1),
+                       fsq_p.reshape(n_blk, block)))
+    idx = idx.reshape(n_blk * block, k + 1)[:K]
+    # drop self-matches: where the first hit is the row itself, shift left
+    rows = jnp.arange(K)[:, None]
+    is_self = idx == rows               # (K, k+1)
+    # stable compaction: order non-self entries first, keep k of them
+    order = jnp.argsort(is_self, axis=1, stable=True)
+    idx = jnp.take_along_axis(idx, order[:, :k], axis=1)
+    return idx.astype(jnp.int32)
 
 
 class NN(SearchMethod):
@@ -91,12 +137,16 @@ class NN(SearchMethod):
         # state correction is dp^-1 (reference inverts the perturbations at
         # dataset build, NN.cc generateDataset) — store the inverses
         dps_inv = jax.vmap(self.ssm.invert)(dps)
+        feats_sq = jnp.sum(feats * feats, axis=-1)
+        graph = (build_knn_graph(feats, feats_sq, min(self.nn.gnn_k, K - 1))
+                 if self.nn.use_gnn else None)
         return NNState(feats=feats,
-                       feats_sq=jnp.sum(feats * feats, axis=-1),
+                       feats_sq=feats_sq,
                        dps=dps_inv,
                        ptr=jnp.zeros((), jnp.int32),
                        frame_idx=jnp.zeros((), jnp.int32),
-                       key=jax.random.PRNGKey(self.nn.seed + 1))
+                       key=jax.random.PRNGKey(self.nn.seed + 1),
+                       graph=graph)
 
     def _update(self, state: TrackerState, frame: Array) -> TrackerState:
         ssm, nn = self.ssm, self.nn
@@ -106,13 +156,45 @@ class NN(SearchMethod):
             c_t = ssm.warp_pts(s, state.region.base_corners)
             return W.apply_warp(state.region.norm_mat, c_t)
 
+        def graph_descent(q):
+            """Greedy kNN-graph descent (reference GNN::searchGraph,
+            GNN.h:42): from the identity node, repeatedly hop to the
+            closest neighbor until no neighbor improves."""
+            def dist_at(i):
+                return ns.feats_sq[i] - 2.0 * jnp.dot(ns.feats[i], q)
+
+            def step(carry):
+                cur, d_cur, _, it = carry
+                neigh = ns.graph[cur]                       # (k,)
+                d_n = (ns.feats_sq[neigh]
+                       - 2.0 * (ns.feats[neigh] @ q))       # (k,)
+                j = jnp.argmin(d_n)
+                better = d_n[j] < d_cur
+                return (jnp.where(better, neigh[j], cur),
+                        jnp.where(better, d_n[j], d_cur),
+                        jnp.logical_not(better), it + 1)
+
+            def go(carry):
+                _, _, stop, it = carry
+                return jnp.logical_and(it < nn.gnn_max_steps,
+                                       jnp.logical_not(stop))
+
+            start = jnp.zeros((), jnp.int32)
+            best, _, _, _ = jax.lax.while_loop(
+                go, step, (start, dist_at(start),
+                           jnp.asarray(False), jnp.zeros((), jnp.int32)))
+            return best
+
         def body(carry):
             s, it, done = carry
             patch = self._patch_at(state.region, s, frame)
             q = self.am.dist_feat(patch)
-            # L2 distances via one MXU matmul (||x||^2 - 2 x.q + const)
-            scores = ns.feats_sq - 2.0 * (ns.feats @ q)
-            best = jnp.argmin(scores)
+            if nn.use_gnn:
+                best = graph_descent(q)
+            else:
+                # L2 distances via one MXU matmul (||x||^2 - 2 x.q + const)
+                scores = ns.feats_sq - 2.0 * (ns.feats @ q)
+                best = jnp.argmin(scores)
             s_new = ssm.compositional_update(s, ns.dps[best])
             change = jnp.max(jnp.linalg.norm(
                 corners_of(s_new) - corners_of(s), axis=-1))
@@ -147,15 +229,29 @@ class NN(SearchMethod):
             fire = (ns.frame_idx % nn.add_samples_gap) == 0
             feats = ns.feats.at[idx].set(
                 jnp.where(fire, f_new, ns.feats[idx]))
+            feats_sq = ns.feats_sq.at[idx].set(
+                jnp.where(fire, jnp.sum(f_new * f_new, -1),
+                          ns.feats_sq[idx]))
             new_extra = new_extra._replace(
                 feats=feats,
-                feats_sq=ns.feats_sq.at[idx].set(
-                    jnp.where(fire, jnp.sum(f_new * f_new, -1),
-                              ns.feats_sq[idx])),
+                feats_sq=feats_sq,
                 dps=ns.dps.at[idx].set(
                     jnp.where(fire, dp_inv, ns.dps[idx])),
                 ptr=ns.ptr + jnp.where(fire, A, 0),
                 key=key)
+            if nn.use_gnn:
+                # reconnect the replaced nodes to their kNN in the updated
+                # dataset (reference FGNN::addPoints semantics; stale
+                # in-edges age out as their owners are themselves replaced)
+                kk = ns.graph.shape[1]
+                d = (jnp.sum(f_new * f_new, -1)[:, None]
+                     - 2.0 * (f_new @ feats.T) + feats_sq[None, :])
+                d = jax.vmap(lambda row, i: row.at[i].set(jnp.inf))(d, idx)
+                _, rows = jax.lax.top_k(-d, kk)
+                new_extra = new_extra._replace(
+                    graph=ns.graph.at[idx].set(
+                        jnp.where(fire, rows.astype(jnp.int32),
+                                  ns.graph[idx])))
         new_state = state._replace(ssm_state=s_out, extra=new_extra)
         patch = self._patch_at(state.region, s_out, frame)
         return new_state._replace(

@@ -146,3 +146,58 @@ def test_pf_multi_distribution_adaptive(test_image):
     # static scene: the tight distribution must dominate
     assert w[0] > w[1]
     assert abs(w.sum() - 1.0) < 1e-4
+
+
+def test_gnn_graph_build_exact(base_image):
+    """build_knn_graph rows = exact kNN (vs numpy brute force), no self."""
+    from mtf_tpu.sm.nn import build_knn_graph
+
+    rng = np.random.default_rng(3)
+    feats = jnp.asarray(rng.standard_normal((73, 16)).astype(np.float32))
+    fsq = jnp.sum(feats * feats, axis=-1)
+    g = np.asarray(build_knn_graph(feats, fsq, 5, block=32))
+    f = np.asarray(feats)
+    d = ((f ** 2).sum(-1)[:, None] - 2 * f @ f.T + (f ** 2).sum(-1)[None, :])
+    np.fill_diagonal(d, np.inf)
+    ref = np.argsort(d, axis=1)[:, :5]
+    assert g.shape == (73, 5)
+    assert not np.any(g == np.arange(73)[:, None])
+    # sets match (order can differ on ties)
+    for i in range(73):
+        assert set(g[i]) == set(ref[i]), i
+
+
+def test_gnn_tracking(base_image):
+    """gnn key: greedy graph descent tracks a translation sequence
+    (GNN.cc/FGNN.h semantics, SURVEY.md §3.4)."""
+    ssm = get_ssm("trans")
+    frames, gt = synthetic_sequence(base_image, jnp.asarray(CORNERS0), ssm,
+                                    n_frames=6, sigma_scale=0.03, seed=17)
+    am = get_am("zncc", AMParams(resx=RES, resy=RES))
+    sm = NN(am, get_ssm("trans"),
+            nn=NNParams(n_samples=800, pix_sigma=6.0, max_iters=4,
+                        use_gnn=True, gnn_k=12, gnn_max_steps=40))
+    errs, state = run(sm, frames, gt)
+    assert state.extra.graph.shape == (800, 12)
+    assert max(errs) < 3.5, f"errors {errs}"
+
+
+def test_gnn_factory_key_and_online_addition(test_image):
+    import jax
+
+    from mtf_tpu import create_tracker
+
+    trk = create_tracker("fgnn", "ssd", "2", nn_n_samples=64, gnn_k=6,
+                         nn_add_samples_gap=1, nn_n_samples_to_add=4)
+    assert trk.nn.use_gnn
+    c = jnp.asarray([[40, 30], [90, 30], [90, 80], [40, 80]], jnp.float32)
+    st = trk.initialize(jnp.asarray(test_image), c)
+    g0 = np.asarray(st.extra.graph).copy()
+    assert g0.shape == (64, 6)
+    st = jax.jit(trk.update)(st, jnp.asarray(test_image))
+    # replaced ring slots got reconnected to their new kNN
+    assert st.extra.graph is not None
+    assert np.all(np.asarray(st.extra.graph) < 64)
+    # identity frame: region stays put through graph descent
+    assert mean_corner_distance(np.asarray(trk.corners(st)).T,
+                                np.asarray(c)) < 0.5
