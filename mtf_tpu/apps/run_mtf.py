@@ -42,6 +42,17 @@ def build_argparser():
     p.add_argument("--reset_at_each_frame", action="store_true",
                    help="reset region to GT every frame, keep template "
                         "(runMTF.cc:578-599 protocol)")
+    p.add_argument("--use_opt_gt", action="store_true",
+                   help="score against OptGT/<seq>_<ssm>.txt — GT "
+                        "projected onto the tracker's SSM "
+                        "(objUtils.cc:948-950); generated on the fly "
+                        "from the raw GT when the file is absent")
+    p.add_argument("--opt_gt_ssm", default=None,
+                   help="SSM key for OptGT (default: the tracker's)")
+    p.add_argument("--use_reinit_gt",
+                   help="ReinitGT/<seq>.bin path: per-start-frame GT "
+                        "used when reinitializing after failure "
+                        "(objUtils.cc:1025)")
     p.add_argument("--out_dir", default="log")
     p.add_argument("--platform", default=None,
                    help="jax platform override (cpu/axon)")
@@ -103,6 +114,19 @@ def main(argv=None):
 
     tracker = create_tracker(sm, am, ssm, ilm, **cfg)
 
+    if args.use_opt_gt and gt_corners is not None:
+        # low-DOF scoring protocol: read OptGT/<seq>_<ssm>.txt when it
+        # exists, else project the raw GT onto the SSM manifold now
+        opt_key = args.opt_gt_ssm or ssm
+        opt_path = (gtio.opt_gt_path(os.path.dirname(args.gt) or ".",
+                                     seq_name, opt_key)
+                    if args.gt else None)
+        if opt_path and os.path.exists(opt_path):
+            gt_corners = gtio.read_corners_file(opt_path)
+        else:
+            from mtf_tpu.ssm import get_ssm as _get_ssm
+            gt_corners = gtio.optimize_gt(gt_corners, _get_ssm(opt_key))
+
     # ---- main loop (runMTF.cc:460-731) ------------------------------
     init_corners = (jnp.asarray(gt_corners[0]) if gt_corners is not None
                     else None)
@@ -136,6 +160,12 @@ def main(argv=None):
                 skip_until = t + args.reinit_frame_skip
                 reinit_t = min(skip_until, len(frames) - 1,
                                len(gt_corners) - 1)
+                if args.use_reinit_gt:
+                    # GT re-optimized from the reinit frame
+                    # (objUtils.cc:905-946 getReinitGT)
+                    rgt = gtio.read_reinit_gt(args.use_reinit_gt, reinit_t)
+                    gt_corners = np.concatenate(
+                        [gt_corners[:reinit_t], rgt])[:len(gt_corners)]
                 state = tracker.initialize(frames[reinit_t],
                                            jnp.asarray(gt_corners[reinit_t]))
                 errors.append(np.nan)

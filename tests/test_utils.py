@@ -114,3 +114,53 @@ def test_dataset_registry_all_actors():
     assert set(ACTORS) == set(expected)
     for actor, n in expected.items():
         assert len(SEQUENCES[actor]) == n, actor
+
+
+def test_opt_gt_projection():
+    """optimize_gt projects 8-DOF GT onto a lower-DOF SSM manifold
+    (objUtils.cc:948-950 OptGT protocol)."""
+    import jax.numpy as jnp
+
+    from mtf_tpu.ssm import get_ssm
+    from mtf_tpu.utils.gt import optimize_gt
+
+    rng = np.random.default_rng(0)
+    base = np.array([[10, 10], [60, 10], [60, 50], [10, 50]], np.float32)
+    # GT that is exactly a similitude of frame 0, plus noise
+    gt = []
+    ssm_sim = get_ssm("sim")
+    for t in range(5):
+        s = jnp.asarray([t * 2.0, t * 1.0, 0.01 * t, 0.02 * t], jnp.float32)
+        gt.append(np.asarray(ssm_sim.warp_pts(s, jnp.asarray(base))))
+    gt = np.stack(gt)
+    opt = optimize_gt(gt + rng.normal(0, 0.05, gt.shape).astype(np.float32),
+                      get_ssm("sim"))
+    assert opt.shape == gt.shape
+    # projection recovers the underlying similitude motion to ~noise level
+    assert np.abs(opt - gt).max() < 0.3
+    # trans(2-DOF) projection keeps the frame-0 shape rigid
+    opt2 = optimize_gt(gt, get_ssm("trans"))
+    d0 = gt[0] - gt[0].mean(0)
+    for t in range(5):
+        assert np.abs((opt2[t] - opt2[t].mean(0)) - d0).max() < 1e-3
+
+
+def test_reinit_gt_binary_roundtrip(tmp_path):
+    """Triangular ReinitGT binary layout (objUtils.cc:1025-1066)."""
+    from mtf_tpu.utils.gt import read_reinit_gt, write_reinit_gt
+
+    rng = np.random.default_rng(1)
+    T = 7
+    gt = rng.normal(0, 50, (T, 4, 2)).astype(np.float64)
+    path = str(tmp_path / "seq.bin")
+    write_reinit_gt(path, gt)
+    # expected reference file size: T*(T+1)*4 doubles + one int
+    assert os.path.getsize(path) == T * (T + 1) * 4 * 8 + 4
+    for r in (0, 3, T - 1):
+        out = read_reinit_gt(path, r)
+        assert out.shape == (T - r, 4, 2)
+        np.testing.assert_allclose(out, gt[r:], rtol=1e-6)
+    # callable form: per-start re-optimized GT
+    write_reinit_gt(path, lambda r: gt[r:] + r)
+    np.testing.assert_allclose(read_reinit_gt(path, 2), gt[2:] + 2,
+                               rtol=1e-6)
