@@ -25,6 +25,12 @@ def main(argv=None):
     p.add_argument("--span", type=float, default=0.1)
     p.add_argument("--n_pts", type=int, default=21)
     p.add_argument("--validate", action="store_true")
+    p.add_argument("--validate_chain", action="store_true",
+                   help="validate the production LK Jacobian chain "
+                        "(StdJac/ESMJac/GN-Hessian ADT analogs)")
+    p.add_argument("--data_type", default="norm",
+                   choices=["norm", "likelihood", "feat_norm"],
+                   help="sweep quantity (ADT selector analog)")
     p.add_argument("--prec", type=float, default=1e-2)
     p.add_argument("--out_dir", default="log")
     p.add_argument("--plot", action="store_true",
@@ -59,6 +65,12 @@ def main(argv=None):
     ssm = get_ssm(args.ssm)
     diag = Diagnostics(am, ssm)
 
+    if args.validate_chain:
+        res = diag.validate_chain(img, corners, prec=args.prec)
+        print(f"{args.am} x {args.ssm} chain: " + "  ".join(
+            f"{k}={v:.2e}" for k, v in res.items() if k != "ok")
+            + f" -> {'OK' if res['ok'] else 'FAIL'}")
+        return 0 if res["ok"] else 1
     if args.validate:
         rep = diag.validate(img, corners, prec=args.prec,
                             span=args.span, n_pts=args.n_pts)
@@ -73,7 +85,8 @@ def main(argv=None):
                                                      f"{base}.png"))
             print(f"plot written to {png}")
         return 0 if rep.ok else 1
-    sweeps = diag.sweep(img, corners, args.span, args.n_pts)
+    sweeps = diag.sweep(img, corners, args.span, args.n_pts,
+                        data_type=args.data_type)
     for d, (xs, ys) in sweeps.items():
         print(f"dim {d}: f({xs[0]:+.3f})={ys[0]:.4f}  f(0)="
               f"{ys[len(ys) // 2]:.4f}  f({xs[-1]:+.3f})={ys[-1]:.4f}")

@@ -67,7 +67,8 @@ class Diagnostics:
         self.interp_kind = interp_kind
         self.border = border
 
-    def _energy_fn(self, frame: Array, corners: Array):
+    def _energy_fn(self, frame: Array, corners: Array,
+                   data_type: str = "norm"):
         from mtf_tpu.sm.core import make_region
         region = make_region(jnp.asarray(corners, jnp.float32),
                              self.resx, self.resy)
@@ -75,6 +76,8 @@ class Diagnostics:
         patch0 = interp.sample(jnp.asarray(frame), pts0,
                                self.interp_kind, self.border)
         am_state = self.am.init(patch0)
+        feat0 = (self.am.dist_feat(patch0) if data_type == "feat_norm"
+                 else None)
 
         def E(dp):
             pts_t = self.ssm.warp_pts_from(self.ssm.identity(), dp,
@@ -82,14 +85,26 @@ class Diagnostics:
             pts = W.apply_warp(region.norm_mat, pts_t)
             patch = interp.sample(jnp.asarray(frame), pts,
                                   self.interp_kind, self.border)
-            return self.am.f(am_state, patch)
+            if data_type == "norm":
+                return self.am.f(am_state, patch)
+            if data_type == "likelihood":
+                return self.am.likelihood(am_state, patch)
+            if data_type == "feat_norm":
+                return jnp.linalg.norm(self.am.dist_feat(patch) - feat0)
+            raise ValueError(f"unknown data_type {data_type!r}")
 
         return E
 
     def sweep(self, frame: Array, corners: Array, span: float = 0.1,
-              n_pts: int = 21, dims=None) -> dict:
-        """Similarity curves along each state dim (ADT::Norm analog)."""
-        E = self._energy_fn(frame, corners)
+              n_pts: int = 21, dims=None, data_type: str = "norm") -> dict:
+        """Curves along each state dim.
+
+        `data_type` mirrors the reference's analytic-data-type selector
+        (ADT, Diagnostics.h:32-39): `norm` = similarity f, `likelihood` =
+        the PF measurement density, `feat_norm` = L2 norm of the
+        NN distance-feature difference from the template's.
+        """
+        E = self._energy_fn(frame, corners, data_type)
         Ev = jax.jit(jax.vmap(E))
         dims = range(self.ssm.dof) if dims is None else dims
         out = {}
@@ -146,6 +161,80 @@ class Diagnostics:
             hess_analytic=hess, hess_numeric=hess_fd,
             max_jac_err=max_jac_err, max_hess_err=max_hess_err,
             ok=(max_jac_err < prec and max_hess_err < hess_prec))
+
+    def validate_chain(self, frame: Array, corners: Array,
+                       prec: float = 1e-2) -> dict:
+        """Validate the PRODUCTION Jacobian path against AD-of-the-energy.
+
+        The LK hot loop computes the energy gradient through the
+        hand-fused chain `df/dpatch · (∇I · dW/dp)`
+        (LKBase._patch_and_jac) rather than AD through the sampler —
+        the analog of the reference's hand-derived StdJac/ESMJac/
+        Hessian-flavor ADTs (Diagnostics.h:32-39), and like them it can
+        silently diverge from the true derivative. This check compares:
+          std_jac   : chain gradient vs jax.grad(E)      (must match)
+          esm_jac   : at the template, mean-of-Jacobians == std chain
+          gn_hess   : chain GN Hessian vs AD-of-chain GN (must match);
+                      symmetry is asserted as a sanity invariant
+        """
+        from mtf_tpu.am import gn_hessian
+        from mtf_tpu.sm.core import SMParams, make_region
+        from mtf_tpu.sm.lk import FCLK
+
+        prm = SMParams(interp=self.interp_kind, border=self.border)
+        sm = FCLK(self.am, self.ssm, prm)
+        region = make_region(jnp.asarray(corners, jnp.float32),
+                             self.resx, self.resy)
+        pts0 = W.apply_warp(region.norm_mat, region.base_pts)
+        patch0 = interp.sample(jnp.asarray(frame), pts0,
+                               self.interp_kind, self.border)
+        am_state = self.am.init(patch0)
+        S = self.ssm.dof
+        rng = np.random.default_rng(0)
+        dp0 = jnp.asarray(0.02 * rng.standard_normal(S) / np.sqrt(S),
+                          jnp.float32)
+        s0 = self.ssm.compositional_update(self.ssm.identity(), dp0)
+        p_am = self.am.ilm.identity_params()
+
+        # production chain at state s0
+        patch, J = sm._patch_and_jac(region, s0, p_am, jnp.asarray(frame))
+        j_chain = np.asarray(
+            self.am.grad_corrected(am_state, patch).reshape(-1) @ J)[:S]
+
+        # AD reference: d/ddp f(am_state, sample(warp(s0 o dp)))
+        fn = sm._patch_fn(region, s0, p_am, jnp.asarray(frame))
+        E = lambda q: self.am.f_corrected(am_state, fn(q))  # noqa: E731
+        j_ad = np.asarray(jax.grad(E)(jnp.zeros(sm._q_dim,
+                                                jnp.float32)))[:S]
+        scale = max(1.0, float(np.abs(j_ad).max()))
+        std_jac_err = float(np.abs(j_chain - j_ad).max()) / scale
+
+        # ESM Jacobian at the template: J0 == Jt => mean == std
+        patch_t, Jt = sm._patch_and_jac(
+            region, self.ssm.identity(), p_am, jnp.asarray(frame))
+        J0 = sm._template_patch_fn(region, jnp.asarray(frame))
+        J0 = jax.jacfwd(J0)(jnp.zeros(sm._q_dim, jnp.float32))
+        J0 = J0.reshape(-1, sm._q_dim)
+        Jm = 0.5 * (np.asarray(J0) + np.asarray(Jt))
+        esm_jac_err = float(np.abs(Jm - np.asarray(Jt)).max()) / max(
+            1.0, float(np.abs(Jt).max()))
+
+        # GN Hessian: chain contraction vs the AM helper on the same J
+        H_chain = np.asarray(sm._hess_contract(am_state, patch, J))
+        H_ref = np.asarray(gn_hessian(self.am, am_state, patch, J))
+        gn_hess_err = float(np.abs(H_chain - H_ref).max()) / max(
+            1.0, float(np.abs(H_ref).max()))
+        sym_err = float(np.abs(H_chain - H_chain.T).max()) / max(
+            1.0, float(np.abs(H_chain).max()))
+
+        return {
+            "std_jac_err": std_jac_err,
+            "esm_jac_err": esm_jac_err,
+            "gn_hess_err": gn_hess_err,
+            "hess_sym_err": sym_err,
+            "ok": bool(std_jac_err < prec and esm_jac_err < prec
+                       and gn_hess_err < prec and sym_err < prec),
+        }
 
     def write_curves(self, report: DiagnosticsReport, out_dir: str = "log"):
         """Dump sweep curves in the reference's data-file style

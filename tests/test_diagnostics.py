@@ -45,3 +45,31 @@ def test_sweep_has_max_at_zero(scene, am_key):
     sweeps = Diagnostics(am, get_ssm("8")).sweep(img, corners, span=0.05)
     for d, (xs, ys) in sweeps.items():
         assert np.argmax(ys) == len(xs) // 2, f"dim {d} peak off-center"
+
+
+@pytest.mark.parametrize("am_key,ssm_key", [
+    ("ssd", "8"), ("ncc", "6"), ("zncc", "4"), ("ssim", "2")])
+def test_chain_matches_ad(scene, am_key, ssm_key):
+    """The production one-gather Jacobian chain (LKBase._patch_and_jac)
+    agrees with AD through the energy — StdJac/ESMJac/GN-Hessian ADT
+    analogs (Diagnostics.h:32-39)."""
+    img, corners = scene
+    am = get_am(am_key, AMParams(resx=20, resy=20))
+    res = Diagnostics(am, get_ssm(ssm_key)).validate_chain(img, corners)
+    assert res["ok"], res
+
+
+@pytest.mark.parametrize("data_type", ["likelihood", "feat_norm"])
+def test_sweep_data_types(scene, data_type):
+    """ADT::Likelihood / ADT::FeatNorm sweep analogs."""
+    img, corners = scene
+    am = get_am("ncc", AMParams(resx=20, resy=20))
+    sweeps = Diagnostics(am, get_ssm("2")).sweep(
+        img, corners, span=0.05, data_type=data_type)
+    for d, (xs, ys) in sweeps.items():
+        assert np.all(np.isfinite(ys))
+        mid = len(xs) // 2
+        if data_type == "likelihood":
+            assert np.argmax(ys) == mid, f"dim {d}"
+        else:  # feature distance from the template is minimal at zero
+            assert np.argmin(ys) == mid, f"dim {d}"
