@@ -57,11 +57,49 @@ def build_argparser():
     p.add_argument("--platform", default=None,
                    help="jax platform override (cpu/axon)")
     p.add_argument("--write_outputs", action="store_true")
+    p.add_argument("--multi",
+                   help="multi.cfg of per-tracker param blocks: run each "
+                        "tracker config over the sequence and report one "
+                        "summary line per tracker (the reference's "
+                        "tracker-comparison mode, parameters.h:4029)")
+    p.add_argument("--n_objs", type=int, default=1,
+                   help="track N objects in ONE vmapped fleet update "
+                        "(replaces runMTF.cc:704's per-tracker loop; "
+                        "synthetic mode lays out N regions on a grid, "
+                        "file mode takes N comma-separated --gt files)")
     return p
 
 
 def main(argv=None):
     args, extra = build_argparser().parse_known_args(argv)
+
+    if args.multi:
+        # tracker-comparison mode: one run per multi.cfg block, each
+        # block's pairs appended as CLI overrides (last wins, matching
+        # the reference's readTrackerParams re-parse per tracker)
+        from mtf_tpu.utils.config import read_multi_cfg
+        base_argv = list(argv if argv is not None else sys.argv[1:])
+        out = []
+        skip = False
+        cleaned = []
+        for tok in base_argv:
+            if skip:
+                skip = False
+                continue
+            if tok == "--multi":
+                skip = True
+                continue
+            if tok.startswith("--multi="):
+                continue
+            cleaned.append(tok)
+        for blk in read_multi_cfg(args.multi):
+            pairs = []
+            for k, v in blk.items():
+                vv = (",".join(str(x) for x in v)
+                      if isinstance(v, (list, tuple)) else str(v))
+                pairs += [str(k), vv]
+            out.append(main(cleaned + pairs))
+        return out
 
     import jax
     if args.platform:
@@ -94,8 +132,22 @@ def main(argv=None):
         except ImportError:
             img = rng.standard_normal((240, 320))
         img = (img - img.min()) / (img.max() - img.min()) * 255.0
-        corners0 = np.array([[110.0, 70.0], [210.0, 70.0],
-                             [210.0, 170.0], [110.0, 170.0]], np.float32)
+        if args.n_objs > 1:
+            # lay N regions on a grid; all ride the same scene warp
+            n = args.n_objs
+            ncol = int(np.ceil(np.sqrt(n)))
+            nrow = int(np.ceil(n / ncol))
+            cw, ch = 320.0 / ncol, 240.0 / nrow
+            boxes = []
+            for i in range(n):
+                r, c = divmod(i, ncol)
+                x0, y0 = c * cw + 0.25 * cw, r * ch + 0.25 * ch
+                x1, y1 = x0 + 0.5 * cw, y0 + 0.5 * ch
+                boxes.append([[x0, y0], [x1, y0], [x1, y1], [x0, y1]])
+            corners0 = np.asarray(boxes, np.float32)      # (N, 4, 2)
+        else:
+            corners0 = np.array([[110.0, 70.0], [210.0, 70.0],
+                                 [210.0, 170.0], [110.0, 170.0]], np.float32)
         gen_ssm = _get_ssm(str(cfg.get("syn_ssm", ssm)))
         frames, gt_corners = synthetic_sequence(
             jnp.asarray(img, jnp.float32), jnp.asarray(corners0), gen_ssm,
@@ -109,10 +161,20 @@ def main(argv=None):
         inp = get_input(args.seq)
         frames = (preproc(jnp.asarray(f, jnp.float32)) for f in inp)
         frames = [f for f in frames]
-        gt_corners = gtio.read_corners_file(args.gt) if args.gt else None
+        if args.gt and args.n_objs > 1:
+            # one GT file per object, comma-separated
+            gts = [gtio.read_corners_file(p) for p in args.gt.split(",")]
+            tmin = min(len(g) for g in gts)
+            gt_corners = np.stack([g[:tmin] for g in gts], axis=1)
+        else:
+            gt_corners = gtio.read_corners_file(args.gt) if args.gt else None
         seq_name = os.path.basename(os.path.normpath(args.seq))
 
     tracker = create_tracker(sm, am, ssm, ilm, **cfg)
+
+    if args.n_objs > 1:
+        return _run_fleet(args, tracker, frames, gt_corners, seq_name,
+                          f"{sm}/{am}/{ssm}")
 
     if args.use_opt_gt and gt_corners is not None:
         # low-DOF scoring protocol: read OptGT/<seq>_<ssm>.txt when it
@@ -211,6 +273,63 @@ def main(argv=None):
         gtio.append_tracking_stats(
             os.path.join(args.out_dir, "tracking_stats.txt"), summary)
     return fps, avg_err
+
+
+def _run_fleet(args, tracker, frames, gt_multi, seq_name, combo):
+    """N-object tracking as ONE vmapped fleet update per frame — the
+    TPU-native replacement for runMTF's per-tracker update loop
+    (runMTF.cc:704). Per-frame protocols (reinit/reset) don't apply here;
+    use n_objs=1 for protocol runs."""
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+
+    from mtf_tpu.parallel.fleet import TrackerFleet
+    from mtf_tpu.utils import gt as gtio
+    from mtf_tpu.utils import metrics
+
+    if gt_multi is None:
+        raise SystemExit("--n_objs > 1 needs GT (or --synthetic)")
+    err_fn = metrics.ERROR_FNS[args.err_metric]
+    N = gt_multi.shape[1]
+    fleet = TrackerFleet(tracker)
+    states = fleet.initialize(frames[0], jnp.asarray(gt_multi[0]))
+    warm = fleet.update(states, frames[0])
+    jax.block_until_ready(jax.tree_util.tree_leaves(warm)[0])
+
+    T = min(len(frames), len(gt_multi))
+    errors = np.zeros((T - 1, N))
+    tracked = []
+    t0 = _time.perf_counter()
+    for t in range(1, T):
+        states = fleet.update(states, frames[t])
+        corners = np.transpose(np.asarray(fleet.corners(states)),
+                               (0, 2, 1))                    # (N, 4, 2)
+        tracked.append(corners)
+        for i in range(N):
+            errors[t - 1, i] = err_fn(gt_multi[t, i], corners[i])
+    jax.block_until_ready(jax.tree_util.tree_leaves(states)[0])
+    dt = _time.perf_counter() - t0
+
+    obj_fps = N * (T - 1) / dt     # object-updates per second
+    avg_err = float(errors.mean())
+    summary = (f"{seq_name} {combo} objs={N} frames={T - 1} "
+               f"fps={(T - 1) / dt:.1f} obj_fps={obj_fps:.1f} "
+               f"avg_{args.err_metric}={avg_err:.3f} "
+               f"per_obj=[{', '.join(f'{e:.3f}' for e in errors.mean(0))}]")
+    print(summary)
+    if args.write_outputs:
+        os.makedirs(args.out_dir, exist_ok=True)
+        stack = np.stack(tracked)                            # (T-1, N, 4, 2)
+        base = os.path.join(
+            args.out_dir, f"{seq_name}_{combo.replace('/', '_')}")
+        for i in range(N):
+            gtio.write_corners_file(f"{base}_obj{i}.txt", stack[:, i])
+            gtio.write_errors_file(f"{base}_obj{i}.err", errors[:, i])
+        gtio.append_tracking_stats(
+            os.path.join(args.out_dir, "tracking_stats.txt"), summary)
+    return obj_fps, avg_err
 
 
 if __name__ == "__main__":

@@ -40,15 +40,19 @@ def synthetic_sequence(img: Array, corners0: Array, ssm, n_frames: int,
                        gain_drift: float = 0.0, bias_drift: float = 0.0):
     """Random-walk warp trajectory rendered as a frame sequence.
 
-    corners0: (4, 2) initial region; the per-frame warp is a compositional
-    random walk of `ssm` states in a normalized frame anchored at the region
+    corners0: (4, 2) initial region — or (M, 4, 2) for M objects riding
+    the same global scene warp (multi-object GT comes for free since the
+    warp is scene-wide); the per-frame warp is a compositional random
+    walk of `ssm` states in a normalized frame anchored at the region(s)
     (so sigma_scale is resolution-independent).
 
-    Returns (frames (T, H, W[, C]) float32, gt_corners (T, 4, 2)).
+    Returns (frames (T, H, W[, C]) float32,
+             gt_corners (T, 4, 2) or (T, M, 4, 2) matching corners0).
     """
     rng = np.random.default_rng(seed)
-    c = np.mean(np.asarray(corners0), axis=0)
-    scale = float(np.mean(np.linalg.norm(np.asarray(corners0) - c, axis=-1)))
+    flat = np.asarray(corners0).reshape(-1, 2)
+    c = np.mean(flat, axis=0)
+    scale = float(np.mean(np.linalg.norm(flat - c, axis=-1)))
     T = np.array([[scale, 0.0, c[0]], [0.0, scale, c[1]], [0.0, 0.0, 1.0]],
                  np.float32)
     Tinv = np.linalg.inv(T)

@@ -164,3 +164,30 @@ def test_reinit_gt_binary_roundtrip(tmp_path):
     write_reinit_gt(path, lambda r: gt[r:] + r)
     np.testing.assert_allclose(read_reinit_gt(path, 2), gt[2:] + 2,
                                rtol=1e-6)
+
+
+def test_run_mtf_multi_object_fleet(tmp_path):
+    """--n_objs: N objects tracked in one vmapped fleet update."""
+    from mtf_tpu.apps.run_mtf import main
+
+    fps, err = main(["--synthetic", "--n_frames", "6", "--platform", "cpu",
+                     "--n_objs", "4", "--write_outputs",
+                     "--out_dir", str(tmp_path),
+                     "sm", "fclk", "am", "ssd", "ssm", "2",
+                     "resx", "16", "resy", "16"])
+    assert err < 0.5
+    for i in range(4):
+        assert os.path.exists(tmp_path / f"synthetic_fclk_ssd_2_obj{i}.txt")
+
+
+def test_run_mtf_multi_cfg(tmp_path):
+    """--multi: one run per multi.cfg tracker block (comparison mode)."""
+    from mtf_tpu.apps.run_mtf import main
+
+    mcfg = tmp_path / "multi.cfg"
+    mcfg.write_text("sm fclk\nam ssd\n\nsm iclk\nam zncc\n")
+    out = main(["--synthetic", "--n_frames", "5", "--platform", "cpu",
+                "--multi", str(mcfg), "ssm", "2", "resx", "16", "resy", "16"])
+    assert len(out) == 2
+    for fps, err in out:
+        assert err < 0.5
