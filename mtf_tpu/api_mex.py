@@ -113,3 +113,51 @@ def mex(command: str, *args):
         raise InvalidArgument(
             f"Invalid command provided: {command}. Valid: {sorted(_CMDS)}")
     return fn(*args)
+
+
+# -- mexMTF (v1) ------------------------------------------------------
+# The original synchronous front-end (`Examples/cpp/mexMTF.cc`): no
+# internal pipeline — the caller supplies each frame, like pyMTF.
+# Commands: create(img, corners[, cfg_dir]) -> id,
+# get_region(img[, id]) -> (ok, corners), set_region(corners[, id]),
+# remove([id]).
+
+def _mex1_create(img, corners, *args):
+    from mtf_tpu import api
+    cfg_dir = str(args[0]) if args else None
+    return (api.create(np.asarray(img), np.asarray(corners), cfg_dir),)
+
+
+def _mex1_get_region(img, tracker_id=1):
+    from mtf_tpu import api
+    return (True, api.getRegion(np.asarray(img), int(tracker_id)))
+
+
+def _mex1_set_region(corners, tracker_id=1):
+    from mtf_tpu import api
+    api.setRegion(np.asarray(corners), int(tracker_id))
+    return (True,)
+
+
+def _mex1_remove(tracker_id=1):
+    from mtf_tpu import api
+    api.remove(int(tracker_id))
+    return (True,)
+
+
+_CMDS_V1 = {
+    "create": _mex1_create,
+    "get_region": _mex1_get_region,
+    "set_region": _mex1_set_region,
+    "remove": _mex1_remove,
+}
+
+
+def mex1(command: str, *args):
+    """Dispatch one mexMTF (v1) command — the synchronous caller-driven
+    surface (mexMTF.cc), mirroring pyMTF."""
+    fn = _CMDS_V1.get(str(command))
+    if fn is None:
+        raise InvalidArgument(
+            f"Invalid command provided: {command}. Valid: {sorted(_CMDS_V1)}")
+    return fn(*args)

@@ -109,11 +109,48 @@ class ArrayInput(InputBase):
         return iter(self.frames)
 
 
+class CameraInput(InputBase):
+    """Live camera via cv2 (reference InputCV 'u'sb source; the ViSP
+    USB/firewire InputVP variants collapse into this — cv2 is the only
+    capture backend here). `n_frames` bounds live capture so tracking
+    loops terminate; -1 streams forever (reference `Live` actor)."""
+
+    def __init__(self, device: int = 0, n_frames: int = -1):
+        self.device = device
+        self.n_frames = n_frames
+
+    def __len__(self):
+        return self.n_frames if self.n_frames > 0 else 0
+
+    def __iter__(self):
+        import cv2  # type: ignore
+        cap = cv2.VideoCapture(self.device)
+        if not cap.isOpened():
+            cap.release()
+            raise RuntimeError(f"camera {self.device} unavailable")
+        t = 0
+        try:
+            while self.n_frames < 0 or t < self.n_frames:
+                ok, frame = cap.read()
+                if not ok:
+                    break
+                yield frame[..., ::-1].astype(np.float32)
+                t += 1
+        finally:
+            cap.release()
+
+
 def get_input(source: str, **kw) -> InputBase:
     """Reference `getInput` (pipeline.h:35-176). source: a directory of
-    frames, a video file, or 'synthetic:<seed-image>' handled upstream."""
-    if os.path.isdir(source):
-        return ImageDirInput(source, **kw)
-    if os.path.isfile(source):
-        return VideoInput(source)
+    frames, a video file, 'u[N]'/'camera[N]' for live capture, or
+    'synthetic:<seed-image>' handled upstream."""
+    import re
+    s = str(source)
+    m = re.fullmatch(r"(?:u|camera)(\d*)", s)
+    if m and not os.path.exists(s):
+        return CameraInput(int(m.group(1) or 0), **kw)
+    if os.path.isdir(s):
+        return ImageDirInput(s, **kw)
+    if os.path.isfile(s):
+        return VideoInput(s)
     raise FileNotFoundError(source)

@@ -51,3 +51,28 @@ def test_mex_invalid_command():
 
     with pytest.raises(InvalidArgument):
         mex("bogus_command")
+
+
+def test_mex1_synchronous_surface(seq_dir):
+    """mexMTF v1 (mexMTF.cc): caller-driven create/get_region/remove."""
+    import cv2
+
+    from mtf_tpu.api_mex import mex1
+
+    frames = []
+    for i in range(1, 6):
+        frames.append(cv2.imread(f"{seq_dir}/frame{i:05d}.jpg",
+                                 cv2.IMREAD_GRAYSCALE).astype(np.float32))
+    corners = np.asarray([[110, 70], [210, 70], [210, 170], [110, 170]],
+                         np.float32)
+    (tid,) = mex1("create", frames[0], corners)
+    for f in frames[1:]:
+        ok, out = mex1("get_region", f, tid)
+        assert ok and out.shape in ((2, 4), (4, 2))
+    # region stays near the (slowly moving) target
+    c = out.reshape(-1, 2) if out.shape == (4, 2) else out.T
+    assert np.abs(c - corners).max() < 20.0
+    (ok,) = mex1("set_region", corners, tid)
+    assert ok
+    (ok,) = mex1("remove", tid)
+    assert ok
