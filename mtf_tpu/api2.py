@@ -29,17 +29,30 @@ _state = {"input": None, "iter": None, "frame": None, "frame_id": -1,
 _lock = threading.Lock()
 
 
-def init(source: str, buffer_size: int = 8, n_threads: int = 2) -> bool:
-    """Open the input pipeline (pyMTF2 `init`)."""
+def init(source: str, buffer_size: int = 8, n_threads: int = 2,
+         preproc: str | None = None, pp1: float = 5.0,
+         pp2: float = 0.0, to_gray: bool = False) -> bool:
+    """Open the input pipeline (pyMTF2 `init`). `preproc` selects the
+    host-side filter chain (none/gauss/med/box/bil/sobel) run inside the
+    native decode workers (getPreProc analog, pipeline.h:178-247)."""
     try:
         from mtf_tpu.utils.native_input import NativeInput, native_available
         if native_available():
-            src = NativeInput(source, buffer_size, n_threads)
+            src = NativeInput(source, buffer_size, n_threads,
+                              preproc=preproc, pp1=pp1, pp2=pp2,
+                              to_gray=to_gray)
         else:
             raise RuntimeError
     except Exception:
         from mtf_tpu.utils.input import get_input
         src = get_input(source)
+        if preproc and preproc not in ("none", "raw"):
+            from mtf_tpu.utils.preproc import get_preproc
+            fn = get_preproc(preproc)
+            from mtf_tpu.utils.input import ArrayInput
+            import jax.numpy as jnp
+            src = ArrayInput([np.asarray(fn(jnp.asarray(f)))
+                              for f in src])
     with _lock:
         _state["input"] = src
         _state["iter"] = iter(src)

@@ -40,6 +40,10 @@ def _load_lib():
         return None
     lib.fp_open.restype = ctypes.c_void_p
     lib.fp_open.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_int]
+    lib.fp_open2.restype = ctypes.c_void_p
+    lib.fp_open2.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+                             ctypes.c_char_p, ctypes.c_double,
+                             ctypes.c_double, ctypes.c_int]
     lib.fp_dims.restype = ctypes.c_int
     lib.fp_dims.argtypes = [ctypes.c_void_p] + [
         ctypes.POINTER(ctypes.c_int)] * 3
@@ -66,13 +70,24 @@ class NativeInput:
     """
 
     def __init__(self, source: str, buffer_size: int = 8,
-                 n_threads: int = 2):
+                 n_threads: int = 2, preproc: str | None = None,
+                 pp1: float = 5.0, pp2: float = 0.0,
+                 to_gray: bool = False):
+        """`preproc`: none/gauss/med/box/bil/sobel — the reference's
+        host-side filter chain (pipeline.h:178-247), run inside the C++
+        decode workers so it overlaps device compute. `pp1` is the
+        kernel size (or bilateral d), `pp2` the sigma."""
         lib = _load_lib()
         if lib is None:
             raise RuntimeError("native framepipe unavailable "
                                "(build native/libframepipe.so)")
         self._lib = lib
-        self._h = lib.fp_open(source.encode(), buffer_size, n_threads)
+        if preproc or to_gray:
+            self._h = lib.fp_open2(source.encode(), buffer_size, n_threads,
+                                   (preproc or "none").encode(),
+                                   float(pp1), float(pp2), int(to_gray))
+        else:
+            self._h = lib.fp_open(source.encode(), buffer_size, n_threads)
         if not self._h:
             raise IOError(f"framepipe cannot open {source!r}")
         hh, ww, cc = ctypes.c_int(), ctypes.c_int(), ctypes.c_int()

@@ -9,6 +9,9 @@
 //
 // C API (ctypes-friendly):
 //   void* fp_open(const char* source, int buf_size, int n_threads);
+//   void* fp_open2(const char* source, int buf_size, int n_threads,
+//                  const char* preproc, double p1, double p2,
+//                  int to_gray);
 //   int   fp_dims(void* h, int* height, int* width, int* channels);
 //   int   fp_total(void* h);                       // -1 if unknown (camera)
 //   int   fp_next(void* h, float* out, int capacity);  // -> frame id or -1
@@ -17,6 +20,11 @@
 // source: image directory (sorted *.jpg/*.png/*.bmp), video file, or
 // "cam:N" for a capture device. Frames are converted to grayscale float32
 // unless the source is color (then HWC float32 RGB).
+//
+// fp_open2 additionally runs the reference's host-side preprocessing
+// chain (preprocUtils.cc, pipeline.h:178-247: none/gauss/med/box/bil/
+// sobel + grayscale convert) INSIDE the decode workers, so filtering
+// overlaps device compute instead of stalling the Python host loop.
 
 #include <opencv2/core.hpp>
 #include <opencv2/imgcodecs.hpp>
@@ -43,6 +51,14 @@ struct Frame {
     cv::Mat data;  // CV_32F or CV_32FC3
 };
 
+enum PreprocKind { PP_NONE = 0, PP_GAUSS, PP_MED, PP_BOX, PP_BIL, PP_SOBEL };
+
+struct Preproc {
+    int kind = PP_NONE;
+    double p1 = 0.0, p2 = 0.0;
+    bool to_gray = false;
+};
+
 struct Pipe {
     // config
     std::vector<std::string> files;  // image-dir mode
@@ -63,16 +79,45 @@ struct Pipe {
 
     std::vector<std::thread> workers;
     cv::VideoCapture cap;    // video mode (single reader thread)
+    Preproc pp;
 };
 
-cv::Mat to_float(const cv::Mat& m) {
+cv::Mat to_float(const cv::Mat& m, const Preproc& pp) {
+    cv::Mat work = m;
+    if (pp.to_gray && work.channels() == 3)
+        cv::cvtColor(work, work, cv::COLOR_BGR2GRAY);
+    // filter chain (preprocUtils.cc semantics); ksize from p1, odd-clamped
+    int k = std::max(1, (int)pp.p1) | 1;
+    switch (pp.kind) {
+        case PP_GAUSS: cv::GaussianBlur(work, work, {k, k}, pp.p2); break;
+        case PP_MED:   cv::medianBlur(work, work, k); break;
+        case PP_BOX:   cv::blur(work, work, {k, k}); break;
+        case PP_BIL: {
+            cv::Mat dst;
+            cv::bilateralFilter(work, dst, (int)pp.p1,
+                                pp.p2 > 0 ? pp.p2 : 50.0,
+                                pp.p2 > 0 ? pp.p2 : 50.0);
+            work = dst;
+            break;
+        }
+        case PP_SOBEL: {
+            if (work.channels() == 3)
+                cv::cvtColor(work, work, cv::COLOR_BGR2GRAY);
+            cv::Mat gx, gy;
+            cv::Sobel(work, gx, CV_32F, 1, 0, k > 1 ? k : 3);
+            cv::Sobel(work, gy, CV_32F, 0, 1, k > 1 ? k : 3);
+            cv::magnitude(gx, gy, work);
+            break;
+        }
+        default: break;
+    }
     cv::Mat f;
-    if (m.channels() == 3) {
+    if (work.channels() == 3) {
         cv::Mat rgb;
-        cv::cvtColor(m, rgb, cv::COLOR_BGR2RGB);
+        cv::cvtColor(work, rgb, cv::COLOR_BGR2RGB);
         rgb.convertTo(f, CV_32FC3);
     } else {
-        m.convertTo(f, CV_32F);
+        work.convertTo(f, CV_32F);
     }
     return f;
 }
@@ -89,7 +134,7 @@ void dir_worker(Pipe* p) {
         cv::Mat img = cv::imread(p->files[id], cv::IMREAD_UNCHANGED);
         if (img.empty()) img = cv::Mat::zeros(p->height ? p->height : 1,
                                               p->width ? p->width : 1, CV_8U);
-        Frame f{id, to_float(img)};
+        Frame f{id, to_float(img, p->pp)};
         std::unique_lock<std::mutex> lk(p->mu);
         // bound the buffer by (emit window + buf_size)
         p->cv_push.wait(lk, [&] {
@@ -108,7 +153,7 @@ void video_worker(Pipe* p) {
         if (p->stop) return;
         cv::Mat img;
         if (!p->cap.read(img) || img.empty()) break;
-        Frame f{id++, to_float(img)};
+        Frame f{id++, to_float(img, p->pp)};
         std::unique_lock<std::mutex> lk(p->mu);
         p->cv_push.wait(lk, [&] {
             return p->stop || (int)p->buf.size() < p->buf_size;
@@ -129,12 +174,24 @@ bool has_image_ext(const fs::path& q) {
            e == ".ppm" || e == ".pgm" || e == ".tif" || e == ".tiff";
 }
 
-}  // namespace
+Preproc parse_preproc(const char* name, double p1, double p2, int to_gray) {
+    Preproc pp;
+    pp.p1 = p1;
+    pp.p2 = p2;
+    pp.to_gray = to_gray != 0;
+    std::string s = name ? name : "none";
+    if (s == "gauss") pp.kind = PP_GAUSS;
+    else if (s == "med") pp.kind = PP_MED;
+    else if (s == "box") pp.kind = PP_BOX;
+    else if (s == "bil") pp.kind = PP_BIL;
+    else if (s == "sobel") pp.kind = PP_SOBEL;
+    else pp.kind = PP_NONE;  // "none"/"raw" and unknown names pass through
+    return pp;
+}
 
-extern "C" {
-
-void* fp_open(const char* source, int buf_size, int n_threads) {
+void* open_impl(const char* source, int buf_size, int n_threads, Preproc pp) {
     auto* p = new Pipe();
+    p->pp = pp;
     p->buf_size = buf_size > 0 ? buf_size : 8;
     p->n_threads = n_threads > 0 ? n_threads : 2;
     std::string src(source);
@@ -164,7 +221,22 @@ void* fp_open(const char* source, int buf_size, int n_threads) {
         p->channels = 3;
         p->workers.emplace_back(video_worker, p);
     }
+    if (p->pp.to_gray || p->pp.kind == PP_SOBEL) p->channels = 1;
     return p;
+}
+
+}  // namespace
+
+extern "C" {
+
+void* fp_open(const char* source, int buf_size, int n_threads) {
+    return open_impl(source, buf_size, n_threads, Preproc{});
+}
+
+void* fp_open2(const char* source, int buf_size, int n_threads,
+               const char* preproc, double p1, double p2, int to_gray) {
+    return open_impl(source, buf_size, n_threads,
+                     parse_preproc(preproc, p1, p2, to_gray));
 }
 
 int fp_dims(void* h, int* height, int* width, int* channels) {

@@ -72,3 +72,23 @@ def test_pymtf2_streaming_tracks(seq_dir):
     assert not pymtf2.isInitialized()
     assert len(errs) == 5
     assert max(errs) < 2.0
+
+
+def test_native_preproc_in_workers(seq_dir):
+    """fp_open2: the host-side filter chain (pipeline.h:178-247) runs
+    inside the native decode workers; gauss matches cv2 exactly."""
+    import cv2
+    import numpy as np
+
+    from mtf_tpu.utils.native_input import NativeInput, native_available
+    if not native_available():
+        import pytest
+        pytest.skip("native framepipe not built")
+    ni = NativeInput(seq_dir, preproc="gauss", pp1=5, pp2=1.5)
+    f0 = next(iter(ni))
+    ni.close()
+    import glob
+    first = sorted(glob.glob(f"{seq_dir}/*.jpg"))[0]
+    ref = cv2.GaussianBlur(cv2.imread(first, cv2.IMREAD_UNCHANGED),
+                           (5, 5), 1.5).astype(np.float32)
+    assert np.abs(f0 - ref).max() < 1e-3
