@@ -103,6 +103,7 @@ def _pf_params(cfg: dict, n_particles: int | None = None) -> PFParams:
         _sigma_from_ids(cfg, "pf_ssm_sigma_ids"),
         measurement_sigma=float(cfg.get("pf_measurement_sigma", 0.1)),
         jacobian_as_sigma=bool(cfg.get("pf_jacobian_as_sigma", False)),
+        am_sigma=tuple(cfg.get("pf_am_sigma", ())),
         seed=int(cfg.get("seed", 0)),
     )
 

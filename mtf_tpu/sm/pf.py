@@ -50,6 +50,11 @@ class PFParams:
     measurement_sigma: float = 0.1    # gaussian likelihood scale
     jacobian_as_sigma: bool = False   # sampler sigma from one GN step
                                       # (NT/PF.cc:214-227)
+    am_sigma: tuple = ()              # photometric-state random-walk sigma
+                                      # (per-ILM-param) — the AM
+                                      # stochastic-sampler API analog
+                                      # (AppearanceModel.h:303-325 +
+                                      # IlluminationModel sampler-sigma)
     seed: int = 0
 
 
@@ -59,6 +64,8 @@ class PFState(NamedTuple):
     log_weights: Array     # (P,)
     key: Array
     distr_log_w: Array = None  # (D,) adaptive sampler-distribution weights
+    am_particles: Array = None  # (P, P_am) photometric particles ((P, 0)
+                                # when AM-state sampling is off)
 
 
 class PF(SearchMethod):
@@ -83,26 +90,35 @@ class PF(SearchMethod):
         pts = W.apply_warp(region.norm_mat, pts_t)
         return interp.sample(frame, pts, self.prm.interp, self.prm.border)
 
-    def _log_lik(self, am_state, patch):
-        f = self.am.f(am_state, patch)
+    def _log_lik(self, am_state, patch, p_am=None):
+        st = (am_state if p_am is None or p_am.shape[-1] == 0
+              else am_state._replace(p_am=p_am))
+        f = self.am.f(st, patch)
         if self.pf.likelihood == "am":
-            return jnp.log(self.am.likelihood(am_state, patch) + 1e-30)
+            return jnp.log(self.am.likelihood(st, patch) + 1e-30)
         if self.pf.likelihood == "gaussian":
             return f / (2.0 * self.pf.measurement_sigma ** 2)
         # reciprocal: 1/(1 - f) style for similarities peaking at high f
         return -jnp.log1p(-f + 1e-6)
+
+    @property
+    def _sample_am(self) -> bool:
+        return bool(self.pf.am_sigma) and self.am.ilm.n_params > 0
 
     # -- API -----------------------------------------------------------
     def _init_extra(self, state: TrackerState, frame: Array):
         P = self.pf.n_particles
         particles = jnp.tile(state.ssm_state[None, :], (P, 1))
         D = max(1, len(self.pf.ssm_sigmas))
+        am_p = (jnp.tile(state.am_state.p_am[None, :], (P, 1))
+                if self._sample_am else jnp.zeros((P, 0), jnp.float32))
         return PFState(
             particles=particles,
             prev_particles=particles,
             log_weights=jnp.full((P,), -jnp.log(P), jnp.float32),
             key=jax.random.PRNGKey(self.pf.seed),
-            distr_log_w=jnp.full((D,), -jnp.log(D), jnp.float32))
+            distr_log_w=jnp.full((D,), -jnp.log(D), jnp.float32),
+            am_particles=am_p)
 
     def _update(self, state: TrackerState, frame: Array) -> TrackerState:
         ssm, am, pf = self.ssm, self.am, self.pf
@@ -134,8 +150,15 @@ class PF(SearchMethod):
             step = jnp.linalg.solve(H, J.T @ g)
             sigma = jnp.maximum(jnp.abs(step), 0.1 * sigma)
 
-        key, k_prop, k_res, k_distr = jax.random.split(ps.key, 4)
+        key, k_prop, k_res, k_distr, k_am = jax.random.split(ps.key, 5)
         prop_keys = jax.random.split(k_prop, P)
+
+        # photometric-state random walk (AM sampler API analog)
+        am_prop = ps.am_particles
+        if self._sample_am:
+            am_prop = am_prop + jnp.asarray(
+                pf.am_sigma, jnp.float32)[None, :] * jax.random.normal(
+                    k_am, am_prop.shape, jnp.float32)
 
         # per-particle sigma: single distribution, or one of D presets
         # drawn from the adaptive distribution weights
@@ -161,7 +184,9 @@ class PF(SearchMethod):
         # 2. measure (batched patch gather + likelihood)
         patches = jax.vmap(
             lambda s: self._particle_patch(state.region, s, frame))(prop)
-        log_lik = jax.vmap(lambda p: self._log_lik(state.am_state, p))(patches)
+        log_lik = jax.vmap(
+            lambda p, pa: self._log_lik(state.am_state, p, pa))(
+                patches, am_prop)
 
         log_w = ps.log_weights + log_lik
         log_w = log_w - jax.scipy.special.logsumexp(log_w)
@@ -182,19 +207,19 @@ class PF(SearchMethod):
             new_dlw = ps.distr_log_w
 
         def resample(args):
-            prop, prev, log_w = args
+            prop, prev, am_p, log_w = args
             cum = jnp.cumsum(jnp.exp(log_w))
             u0 = jax.random.uniform(k_res, ())
             u = (jnp.arange(P, dtype=jnp.float32) + u0) / P
             idx = jnp.searchsorted(cum, u)
             idx = jnp.clip(idx, 0, P - 1)
-            return (prop[idx], prev[idx],
+            return (prop[idx], prev[idx], am_p[idx],
                     jnp.full((P,), -jnp.log(P), jnp.float32))
 
         if pf.resampling != "none":
-            prop, prev_out, log_w = jax.lax.cond(
+            prop, prev_out, am_prop, log_w = jax.lax.cond(
                 n_eff < pf.n_eff_ratio * P, resample,
-                lambda a: a, (prop, ps.particles, log_w))
+                lambda a: a, (prop, ps.particles, am_prop, log_w))
         else:
             prev_out = ps.particles
 
@@ -214,8 +239,14 @@ class PF(SearchMethod):
 
         new_extra = PFState(particles=prop, prev_particles=prev_out,
                             log_weights=log_w, key=key,
-                            distr_log_w=new_dlw)
+                            distr_log_w=new_dlw, am_particles=am_prop)
+        am_state = state.am_state
+        if self._sample_am:
+            # weighted-mean photometric state (estimateMeanOfSamples for
+            # the AM side; ILM params are additive so Euclidean is exact)
+            am_state = am_state._replace(
+                p_am=jnp.sum(w[:, None] * am_prop, axis=0))
         new_state = state._replace(ssm_state=mean_state, extra=new_extra)
         patch = self._particle_patch(state.region, mean_state, frame)
         return new_state._replace(
-            am_state=am.update_model(state.am_state, patch))
+            am_state=am.update_model(am_state, patch))

@@ -201,3 +201,25 @@ def test_gnn_factory_key_and_online_addition(test_image):
     # identity frame: region stays put through graph descent
     assert mean_corner_distance(np.asarray(trk.corners(st)).T,
                                 np.asarray(c)) < 0.5
+
+
+def test_pf_am_state_sampling(base_image):
+    """AM stochastic-sampler analog (AppearanceModel.h:303-325): PF
+    photometric particles track a gain+bias drift that defeats plain SSD."""
+    from mtf_tpu import create_tracker
+    from mtf_tpu.utils.synth import synthetic_sequence
+
+    ssm = get_ssm("trans")
+    frames, gt = synthetic_sequence(base_image, jnp.asarray(CORNERS0), ssm,
+                                    n_frames=6, sigma_scale=0.02, seed=21,
+                                    gain_drift=0.06, bias_drift=6.0)
+    kw = dict(pf_n_particles=500, pf_pix_sigma=4.0,
+              pf_likelihood="gaussian", pf_measurement_sigma=0.05,
+              resx=RES, resy=RES, seed=3)
+    trk = create_tracker("pf", "ssd", "trans", ilm="gb",
+                         pf_am_sigma=(0.05, 5.0), **kw)
+    errs, state = run(trk, frames, gt)
+    assert state.extra.am_particles.shape == (500, 2)
+    # the mean photometric state should move off identity toward the drift
+    assert float(jnp.abs(state.am_state.p_am).sum()) > 1e-3
+    assert max(errs) < 4.0, f"with AM sampling: {errs}"
