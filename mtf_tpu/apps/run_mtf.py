@@ -53,6 +53,12 @@ def build_argparser():
                    help="ReinitGT/<seq>.bin path: per-start-frame GT "
                         "used when reinitializing after failure "
                         "(objUtils.cc:1025)")
+    p.add_argument("--frame_gap", type=int, default=1,
+                   help="track every k-th frame (runMTF.cc:685-690)")
+    p.add_argument("--init_frame_id", type=int, default=0,
+                   help="start tracking at this frame (objUtils.cc:888)")
+    p.add_argument("--invert_seq", action="store_true",
+                   help="run the sequence backwards (objUtils.cc:862)")
     p.add_argument("--out_dir", default="log")
     p.add_argument("--platform", default=None,
                    help="jax platform override (cpu/axon)")
@@ -169,6 +175,20 @@ def main(argv=None):
         else:
             gt_corners = gtio.read_corners_file(args.gt) if args.gt else None
         seq_name = os.path.basename(os.path.normpath(args.seq))
+
+    # sequence protocol transforms (objUtils.cc:861-894 + runMTF frame_gap)
+    if args.invert_seq:
+        frames = frames[::-1]
+        if gt_corners is not None:
+            gt_corners = gt_corners[::-1]
+    if args.init_frame_id > 0:
+        frames = frames[args.init_frame_id:]
+        if gt_corners is not None:
+            gt_corners = gt_corners[args.init_frame_id:]
+    if args.frame_gap > 1:
+        frames = frames[::args.frame_gap]
+        if gt_corners is not None:
+            gt_corners = gt_corners[::args.frame_gap]
 
     tracker = create_tracker(sm, am, ssm, ilm, **cfg)
 

@@ -275,16 +275,11 @@ def sample_dense(img: Array, pts: Array, kind: str = LINEAR,
         sub = sub.astype(compute_dtype)
         Wx, dWx = Wx.astype(compute_dtype), dWx.astype(compute_dtype)
         Wy, dWy = Wy.astype(compute_dtype), dWy.astype(compute_dtype)
-    # ONE stage-1 MXU contraction: the value and d/dx paths share the
-    # expensive N*Hc*Wc matmul, so stack [Wx; dWx] along the point axis
-    # (a (2N, Wc) @ (Wc, Hc*C) dot instead of two N-row dots — same
-    # FLOPs, one MXU dispatch, better M-dim tiling)
-    n = Wx.shape[0]
-    tmp_all = jnp.einsum("nw,hwc->nhc",
-                         jnp.concatenate([Wx, dWx], axis=0), sub,
-                         preferred_element_type=jnp.float32)
-    tmp, tmp_dx = tmp_all[:n], tmp_all[n:]
-    # stage 2 is cheap (N*Hc): three row-wise reductions
+    # two MXU contractions + cheap reuse for the gradients
+    tmp = jnp.einsum("nw,hwc->nhc", Wx, sub,
+                     preferred_element_type=jnp.float32)
+    tmp_dx = jnp.einsum("nw,hwc->nhc", dWx, sub,
+                        preferred_element_type=jnp.float32)
     val = jnp.einsum("nh,nhc->nc", Wy, tmp,
                      preferred_element_type=jnp.float32)
     dx = jnp.einsum("nh,nhc->nc", Wy, tmp_dx,
