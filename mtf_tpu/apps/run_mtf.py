@@ -63,6 +63,10 @@ def build_argparser():
     p.add_argument("--platform", default=None,
                    help="jax platform override (cpu/axon)")
     p.add_argument("--write_outputs", action="store_true")
+    p.add_argument("--record_tracking",
+                   help="write an annotated tracking video (tracked "
+                        "region + GT overlay; runMTF.cc:607-674 record "
+                        "path)")
     p.add_argument("--multi",
                    help="multi.cfg of per-tracker param blocks: run each "
                         "tracker config over the sequence and report one "
@@ -222,6 +226,10 @@ def main(argv=None):
     jax.block_until_ready(jax.tree_util.tree_leaves(state_w)[0])
 
     err_fn = metrics.ERROR_FNS[args.err_metric]
+    recorder = None
+    if args.record_tracking:
+        from mtf_tpu.utils.viz import VideoRecorder, annotate
+        recorder = VideoRecorder(args.record_tracking)
     errors, tracked = [], []
     n_failures = 0
     skip_until = -1
@@ -268,8 +276,14 @@ def main(argv=None):
                 state = tracker.set_region(state,
                                            jnp.asarray(gt_corners[t]))
         tracked.append(corners)
+        if recorder is not None:
+            g = (gt_corners[t] if gt_corners is not None
+                 and t < len(gt_corners) else None)
+            recorder.write(annotate(frames[t], corners, gt=g))
     jax.block_until_ready(jax.tree_util.tree_leaves(state)[0])
     dt = time.perf_counter() - t0
+    if recorder is not None:
+        recorder.close()
 
     n_tracked = len(frames) - 1
     fps = n_tracked / dt

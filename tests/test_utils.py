@@ -191,3 +191,29 @@ def test_run_mtf_multi_cfg(tmp_path):
     assert len(out) == 2
     for fps, err in out:
         assert err < 0.5
+
+
+def test_viz_annotate_and_record(tmp_path):
+    """Region drawing + annotated tracking video (runMTF.cc:607-674)."""
+    import cv2
+
+    from mtf_tpu.utils.viz import VideoRecorder, annotate
+
+    frame = np.random.default_rng(0).uniform(0, 255, (60, 80)).astype(
+        np.float32)
+    corners = np.asarray([[10, 10], [50, 10], [50, 40], [10, 40]],
+                         np.float32)
+    canvas = annotate(frame, corners, labels=["trk"], gt=corners + 2)
+    assert canvas.shape == (60, 80, 3) and canvas.dtype == np.uint8
+    # the polygon actually painted pixels
+    assert (canvas[10, 10:50, 2] == 255).any()
+    path = str(tmp_path / "out.avi")
+    rec = VideoRecorder(path, fps=10)
+    for _ in range(3):
+        rec.write(canvas)
+    rec.close()
+    cap = cv2.VideoCapture(path)
+    n = 0
+    while cap.read()[0]:
+        n += 1
+    assert n == 3
