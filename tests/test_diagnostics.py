@@ -73,3 +73,34 @@ def test_sweep_data_types(scene, data_type):
             assert np.argmax(ys) == mid, f"dim {d}"
         else:  # feature distance from the template is minimal at zero
             assert np.argmin(ys) == mid, f"dim {d}"
+
+
+# broaden coverage to the rest of the AM zoo (diagnoseMTF's job in the
+# reference: every AM must pass the derivative contract). SCV-family
+# excluded (frozen remap, see above); CCRE/KLD/LKLD use cumulative/
+# ratio histograms whose FD agreement needs looser precision.
+@pytest.mark.parametrize("am_key,prec,hess_prec", [
+    ("nssd", 2.5e-2, 1e-1), ("sad", 3e-1, 1e30), ("spss", 2.5e-2, 1e-1),
+    ("ngf", 5e-2, 2e-1), ("kld", 5e-2, 5e-1), ("lkld", 5e-2, 5e-1),
+    ("ccre", 5e-2, 5e-1), ("pca", 2.5e-2, 1e-1), ("sum", 2.5e-2, 1e-1),
+])
+def test_ad_matches_fd_am_zoo(scene, am_key, prec, hess_prec):
+    """|grad| parity for the remaining AMs (SAD's subgradient kinks make
+    its FD Hessian meaningless — Jacobian-only there)."""
+    img, corners = scene
+    am = get_am(am_key, AMParams(resx=20, resy=20))
+    rep = Diagnostics(am, get_ssm("4")).validate(img, corners, prec=prec,
+                                                 hess_prec=hess_prec)
+    assert rep.ok, (f"{am_key}: jac={rep.max_jac_err:.2e} "
+                    f"hess={rep.max_hess_err:.2e}")
+
+
+@pytest.mark.parametrize("ssm_key", ["3", "3s", "4s", "5", "l6", "l8",
+                                     "sl3", "c8", "spl"])
+def test_ad_matches_fd_ssm_zoo(scene, ssm_key):
+    """Derivative contract across the remaining SSM parameterizations."""
+    img, corners = scene
+    am = get_am("ssd", AMParams(resx=20, resy=20))
+    rep = Diagnostics(am, get_ssm(ssm_key)).validate(img, corners)
+    assert rep.ok, (f"ssd x {ssm_key}: jac={rep.max_jac_err:.2e} "
+                    f"hess={rep.max_hess_err:.2e}")
