@@ -53,6 +53,13 @@ def build_argparser():
                    help="ReinitGT/<seq>.bin path: per-start-frame GT "
                         "used when reinitializing after failure "
                         "(objUtils.cc:1025)")
+    p.add_argument("--corners",
+                   help="x1,y1,...,x4,y4 init region (GT-less runs, e.g. "
+                        "live camera)")
+    p.add_argument("--select", action="store_true",
+                   help="interactive region selection on frame 0 "
+                        "(getObjectsToTrack UI path, pipeline.h:249-276; "
+                        "needs a display)")
     p.add_argument("--frame_gap", type=int, default=1,
                    help="track every k-th frame (runMTF.cc:685-690)")
     p.add_argument("--init_frame_id", type=int, default=0,
@@ -216,8 +223,24 @@ def main(argv=None):
     # ---- main loop (runMTF.cc:460-731) ------------------------------
     init_corners = (jnp.asarray(gt_corners[0]) if gt_corners is not None
                     else None)
+    if init_corners is None and args.corners:
+        init_corners = jnp.asarray(
+            np.asarray([float(v) for v in args.corners.split(",")],
+                       np.float32).reshape(4, 2))
+    if init_corners is None and args.select:
+        # interactive rectangle selection (ObjUtils::selectObjects analog)
+        import cv2
+        from mtf_tpu.utils.viz import to_bgr_u8
+        x, y, w_, h_ = cv2.selectROI("select object",
+                                     to_bgr_u8(frames[0]), False)
+        cv2.destroyAllWindows()
+        if w_ > 0 and h_ > 0:
+            init_corners = jnp.asarray(
+                [[x, y], [x + w_, y], [x + w_, y + h_], [x, y + h_]],
+                jnp.float32)
     if init_corners is None:
-        raise SystemExit("no GT: interactive selection not available in CLI")
+        raise SystemExit("no init region: pass --gt, --corners, or "
+                         "--select (display required)")
 
     state = tracker.initialize(frames[0], init_corners)
     update = jax.jit(tracker.update)
