@@ -243,6 +243,35 @@ def create_tracker(sm: str = "fclk", am: str = "ssd", ssm: str = "8",
                              gnn_max_steps=int(cfg.get("gnn_max_steps", 32)))
         return NN(make_am(), make_ssm(), prm, nn_prm)
 
+    # linear predictor (hyperplane tracking; beyond-reference SM — see
+    # sm/lp.py); lpfc/lpic/lpes = LP coarse localizer + LK refiner
+    if sm_key in ("lp", "lpfc", "lpic", "lpes"):
+        from mtf_tpu.sm.lp import LP, LPParams
+        lp_prm = LPParams(
+            n_samples=int(cfg.get("lp_n_samples", 512)),
+            max_iters=int(cfg.get("lp_max_iters", 5)),
+            pix_sigma=float(cfg.get("lp_pix_sigma", 4.0)),
+            ssm_sigma=tuple(cfg.get("lp_ssm_sigma", ())),
+            ridge=float(cfg.get("lp_ridge", 1e-3)),
+            n_stages=int(cfg.get("lp_n_stages", 3)),
+            epsilon=float(cfg.get("lp_epsilon", 0.01)),
+            seed=int(cfg.get("seed", 0)))
+        refiner = {"fc": "fclk", "ic": "iclk", "es": "esm"}.get(sm_key[2:])
+        # in the cascade forms the LP stage localizes on a LOW-DOF warp
+        # by default ("2"): the projective dims of an 8-DOF hyperplane
+        # predictor are barely observable in intensity differences and
+        # diverge on smooth imagery; the LK refiner then runs the full
+        # SSM (the HESM-style low-then-high-DOF hierarchy, HESM.h:61-99)
+        lp_ssm_key = str(cfg.get(
+            "lp_ssm", ssm if (not refiner or get_ssm(ssm).dof <= 4)
+            else "2"))
+        lp_sm = LP(make_am(), get_ssm(lp_ssm_key), prm, lp_prm)
+        if refiner:
+            return CascadeSM([lp_sm,
+                              create_tracker(refiner, am, ssm, ilm, **cfg)],
+                             _casc_thresh(cfg))
+        return lp_sm
+
     # line-constrained grid tracker (LineTracker.cc)
     if sm_key == "line":
         from mtf_tpu.sm.line import LineParams, LineTracker

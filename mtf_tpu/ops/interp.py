@@ -246,14 +246,16 @@ def _axis_weights(coord: Array, size: int, kind: str):
 
 def sample_dense(img: Array, pts: Array, kind: str = LINEAR,
                  crop: int | None = None, cval: float = 0.0,
-                 compute_dtype=None):
-    """Matmul-form sampling -> (patch (N, C), grad (N, C, 2)).
+                 compute_dtype=None, need_grad: bool = True):
+    """Matmul-form sampling -> (patch (N, C), grad (N, C, 2) | None).
 
     `crop`: static window size; the window is dynamic-sliced around the
     points (replicate-clamped at its edge). None = full image.
     `compute_dtype`: jnp.bfloat16 runs the contractions on the bf16 MXU
     path (f32 accumulation) — ~0.5 intensity-level quantization on 8-bit
     imagery, halves the matmul cost.
+    `need_grad=False` skips the dWx contraction — HALF the stage-1 MXU
+    cost for value-only consumers (LP / PF / NN sampling).
     """
     img = _as_hwc(img)
     h, w, c = img.shape
@@ -278,10 +280,12 @@ def sample_dense(img: Array, pts: Array, kind: str = LINEAR,
     # two MXU contractions + cheap reuse for the gradients
     tmp = jnp.einsum("nw,hwc->nhc", Wx, sub,
                      preferred_element_type=jnp.float32)
-    tmp_dx = jnp.einsum("nw,hwc->nhc", dWx, sub,
-                        preferred_element_type=jnp.float32)
     val = jnp.einsum("nh,nhc->nc", Wy, tmp,
                      preferred_element_type=jnp.float32)
+    if not need_grad:
+        return val, None
+    tmp_dx = jnp.einsum("nw,hwc->nhc", dWx, sub,
+                        preferred_element_type=jnp.float32)
     dx = jnp.einsum("nh,nhc->nc", Wy, tmp_dx,
                     preferred_element_type=jnp.float32)
     dy = jnp.einsum("nh,nhc->nc", dWy, tmp,
