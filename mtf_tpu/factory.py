@@ -152,7 +152,13 @@ def create_tracker(sm: str = "fclk", am: str = "ssd", ssm: str = "8",
     """
     sm_key = sm.lower()
 
-    # third-party trackers take precedence like the reference factory
+    # native correlation-filter trackers (the reference bundles DSST/KCF as
+    # third-party C++; here they are TPU-native FFT programs — sm/cf.py)
+    from mtf_tpu.sm.cf import CF_REGISTRY, get_cf_tracker
+    if sm_key in CF_REGISTRY:
+        return get_cf_tracker(sm_key, **cfg)
+
+    # remaining third-party keys route like the reference factory
     # (mtf.h:935 -> 1978): bundled-tracker keys bypass the AM/SSM machinery
     from mtf_tpu.third_party import get_third_party, is_third_party
     if is_third_party(sm_key):
