@@ -33,9 +33,9 @@ BUDGETS_PX = {
     "fclm/ccre/8": 2.5,
     "pf500/ssd/2": 3.0,
     "nn1k/ssd/4": 3.0,
-    # bare grid+RANSAC is the coarse localization stage (2-DOF patches
-    # under an 8-DOF warp drift by design); RKLT refines it to ~0.01px
-    "ransac/ssd/8": 3.5,
+    # bare grid+RANSAC localization (chained-warp pyramidal patch flow);
+    # RKLT refines it to ~0.01px
+    "ransac/ssd/8": 1.5,
     "rklt/ncc/8": 1.0,
 }
 
@@ -50,7 +50,8 @@ def _configs():
         ("fclm/ccre/8", ("fclm", "ccre", "8"), {"hess_type": "std"}),
         ("pf500/ssd/2", ("pf500", "ssd", "2"), {}),
         ("nn1k/ssd/4", ("nn1k", "ssd", "4"), {"nn_max_iters": 5}),
-        ("ransac/ssd/8", ("ransac", "ssd", "8"), {"grid_res": 8}),
+        ("ransac/ssd/8", ("ransac", "ssd", "8"),
+         {"grid_res": 8, "grid_pyramid_levels": 3, "grid_sub_iters": 15}),
         ("rklt/ncc/8", ("rklt", "ncc", "8"), {}),
     ]
 

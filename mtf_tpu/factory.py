@@ -130,6 +130,10 @@ def _grid_params(cfg: dict, estimator: str | None = None) -> GridParams:
         n_hyps=int(cfg.get("grid_n_hyps", 64)),
         inlier_thresh_px=float(cfg.get("grid_inlier_thresh", 2.0)),
         fb_err_px=float(cfg.get("grid_fb_err", -1.0)),
+        patch_scale=float(cfg.get("grid_patch_scale", 1.0)),
+        zncc=bool(cfg.get("grid_zncc", True)),
+        pyramid_levels=int(cfg.get("grid_pyramid_levels", 1)),
+        flow=str(cfg.get("grid_flow", "warped")),
         seed=int(cfg.get("seed", 0)),
     )
 

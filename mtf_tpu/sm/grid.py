@@ -42,8 +42,24 @@ class GridParams:
     inlier_thresh_px: float = 2.0   # image-pixel inlier threshold
     fb_err_px: float = -1.0     # forward-backward mask threshold (<0 = off)
     zncc: bool = True           # standardize patches (illumination robust)
-    pyramid_levels: int = 1     # coarse-to-fine flow (GridTrackerCV's
-                                # pyramidal LK, GridTrackerCV.cc:208-275)
+    pyramid_levels: int = 2     # coarse-to-fine flow (GridTrackerCV's
+                                # pyramidal LK, GridTrackerCV.cc:208-275);
+                                # >1 is essential: per-frame motion easily
+                                # exceeds the tiny patches' convergence basin
+    flow: str = "warped"        # patch-flow geometry:
+                                # "warped" — sample each patch through the
+                                #   current global warp + a 2-DOF correction
+                                #   (chained-warp: anchored to the init
+                                #   template, no local-affine mismatch, no
+                                #   frame-to-frame drift — the TPU-native
+                                #   upgrade over the reference's rigid
+                                #   windows);
+                                # "rigid" — rigid windows around predicted
+                                #   centers vs fixed init templates
+                                #   (GridTrackerFlow semantics);
+                                # "f2f" — rigid windows vs previous-frame
+                                #   templates (GridTrackerCV's
+                                #   calcOpticalFlowPyrLK(prev, cur)).
     seed: int = 0
 
 
@@ -73,21 +89,15 @@ class GridTracker(SearchMethod):
         self.grid = grid or GridParams()
 
     # -- batched translation LK over all patches -----------------------
-    def _track_patches(self, frame, norm_mat, centers_t, offsets, templates,
-                       n_iters):
-        """centers_t: (P,2) template-frame centers; returns updated centers.
-        One fused computation: (P, n) gathers + closed-form 2x2 solves."""
+    def _track_patches(self, frame, norm_mat, pts_base, templates, n_iters):
+        """pts_base: (P, n, 2) per-patch template-frame sampling points;
+        returns the (P, 2) 2-DOF corrections. One fused computation:
+        (P, n) gathers + closed-form 2x2 solves."""
         g = self.grid
 
-        def patch_at(center, disp):
-            pts_t = center[None, :] + offsets + disp[None, :]
-            pts = W.apply_warp(norm_mat, pts_t)
-            return interp.sample(frame, pts, self.prm.interp, self.prm.border)
-
-        def one_patch(center, template):
+        def one_patch(base, template):
             def body(_, disp):
-                pts_t = center[None, :] + offsets + disp[None, :]
-                pts = W.apply_warp(norm_mat, pts_t)
+                pts = W.apply_warp(norm_mat, base + disp[None, :])
                 patch = interp.sample(frame, pts, self.prm.interp,
                                       self.prm.border)
                 grad = interp.sample_grad(frame, pts, self.prm.interp,
@@ -104,11 +114,10 @@ class GridTracker(SearchMethod):
                 d = solve2x2(H, J.T @ r)
                 return disp - d
 
-            disp = jax.lax.fori_loop(0, n_iters, body,
+            return jax.lax.fori_loop(0, n_iters, body,
                                      jnp.zeros(2, jnp.float32))
-            return center + disp
 
-        return jax.vmap(one_patch)(centers_t, templates)
+        return jax.vmap(one_patch)(pts_base, templates)
 
     def _pyr_frames(self, frame):
         """Image pyramid, level 0 = full resolution (static level count)."""
@@ -123,17 +132,34 @@ class GridTracker(SearchMethod):
         s = 1.0 / (2 ** lvl)
         return jnp.diag(jnp.asarray([s, s, 1.0], norm_mat.dtype)) @ norm_mat
 
-    def _track_patches_pyr(self, frame, norm_mat, centers_t, offsets,
-                           templates, n_iters):
+    def _track_patches_pyr(self, frame, norm_mat, pts_base, templates,
+                           n_iters):
         """Coarse-to-fine flow over the pyramid (GridTrackerCV.cc:208-275);
-        centers live in the scale-free template frame so they carry across
-        levels unchanged."""
+        points live in the scale-free template frame so they carry across
+        levels unchanged. Returns the accumulated (P, 2) corrections."""
         frames = self._pyr_frames(frame)
+        disp = jnp.zeros((pts_base.shape[0], 2), jnp.float32)
         for lvl in reversed(range(self.grid.pyramid_levels)):
-            centers_t = self._track_patches(
-                frames[lvl], self._level_norm(norm_mat, lvl), centers_t,
-                offsets, templates[lvl], n_iters)
-        return centers_t
+            disp = disp + self._track_patches(
+                frames[lvl], self._level_norm(norm_mat, lvl),
+                pts_base + disp[:, None, :], templates[lvl], n_iters)
+        return disp
+
+    def _templates_at(self, frame, norm_mat, centers, offsets):
+        """(L, P, n, C) per-level patch templates sampled around `centers`."""
+        g = self.grid
+        frames_pyr = self._pyr_frames(frame)
+
+        def template_of(frm, norm_l):
+            def one(c):
+                pts = W.apply_warp(norm_l, c[None, :] + offsets)
+                p = interp.sample(frm, pts, self.prm.interp, self.prm.border)
+                return _standardize(p) if g.zncc else p
+            return jax.vmap(one)(centers)
+
+        return jnp.stack([
+            template_of(frames_pyr[lvl], self._level_norm(norm_mat, lvl))
+            for lvl in range(g.pyramid_levels)])
 
     # -- SearchMethod hooks ---------------------------------------------
     def _init_extra(self, state: TrackerState, frame: Array):
@@ -153,25 +179,15 @@ class GridTracker(SearchMethod):
         ox, oy = jnp.meshgrid(o, o)
         offsets = jnp.stack([ox.ravel(), oy.ravel()], axis=-1)
 
-        frames_pyr = self._pyr_frames(frame)
-
-        def template_of(frm, norm_l):
-            def one(c):
-                pts = W.apply_warp(norm_l, c[None, :] + offsets)
-                p = interp.sample(frm, pts, self.prm.interp, self.prm.border)
-                return _standardize(p) if g.zncc else p
-            return jax.vmap(one)(centers0)
-
-        templates = jnp.stack([
-            template_of(frames_pyr[lvl], self._level_norm(region.norm_mat,
-                                                          lvl))
-            for lvl in range(g.pyramid_levels)])
+        templates = self._templates_at(frame, region.norm_mat, centers0,
+                                       offsets)
         P = centers0.shape[0]
         return GridState(
             templates=templates, offsets=offsets, centers0=centers0,
             key=jax.random.PRNGKey(g.seed),
             inlier_mask=jnp.ones((P,), jnp.float32),
-            prev_frame=frame if g.fb_err_px > 0 else None)
+            prev_frame=frame if (g.flow == "f2f" or g.fb_err_px > 0)
+            else None)
 
     def _update(self, state: TrackerState, frame: Array) -> TrackerState:
         g, ssm = self.grid, self.ssm
@@ -181,18 +197,37 @@ class GridTracker(SearchMethod):
 
         # predict centers through current warp (reset-to-SSM policy)
         centers_pred = ssm.warp_pts(state.ssm_state, gs.centers0)
-        centers_new = self._track_patches_pyr(
-            frame, region.norm_mat, centers_pred, gs.offsets, gs.templates,
-            g.sub_iters)
+        if g.flow == "warped":
+            # chained-warp patches: every sampling point rides the global
+            # warp, so the fixed init templates stay geometrically valid
+            pts_base = jax.vmap(
+                lambda c: ssm.warp_pts(state.ssm_state,
+                                       c[None, :] + gs.offsets))(gs.centers0)
+            templates = gs.templates
+        else:
+            pts_base = centers_pred[:, None, :] + gs.offsets[None, :, :]
+            if g.flow == "f2f" and gs.prev_frame is not None:
+                # templates resampled from the previous frame at the fitted
+                # positions (GridTrackerCV.cc:208-275)
+                templates = self._templates_at(
+                    gs.prev_frame, region.norm_mat, centers_pred, gs.offsets)
+            else:
+                templates = gs.templates
+        disp = self._track_patches_pyr(
+            frame, region.norm_mat, pts_base, templates, g.sub_iters)
+        centers_new = centers_pred + disp
 
         weights = None
         if g.fb_err_px > 0 and gs.prev_frame is not None:
             # track back on the previous frame; large round-trip = occlusion
-            centers_back = self._track_patches_pyr(
-                gs.prev_frame, region.norm_mat, centers_new, gs.offsets,
-                gs.templates, g.sub_iters)
+            back_templates = (self._templates_at(frame, region.norm_mat,
+                                                 centers_new, gs.offsets)
+                              if g.flow == "f2f" else gs.templates)
+            disp_back = self._track_patches_pyr(
+                gs.prev_frame, region.norm_mat,
+                pts_base + disp[:, None, :], back_templates, g.sub_iters)
             scale = region.norm_mat[0, 0]
-            fb = jnp.linalg.norm(centers_back - centers_pred, axis=-1) * scale
+            fb = jnp.linalg.norm(disp + disp_back, axis=-1) * scale
             weights = (fb < g.fb_err_px).astype(jnp.float32)
             weights = jnp.where(jnp.sum(weights) >= ransac.min_sample_size(ssm),
                                 weights, jnp.ones_like(weights))
@@ -205,7 +240,8 @@ class GridTracker(SearchMethod):
 
         new_extra = gs._replace(
             key=key, inlier_mask=inl,
-            prev_frame=frame if g.fb_err_px > 0 else None)
+            prev_frame=frame if (g.flow == "f2f" or g.fb_err_px > 0)
+            else None)
         return state._replace(ssm_state=new_ssm, extra=new_extra)
 
 
