@@ -79,8 +79,8 @@ def _hann2(res: int) -> Array:
 
 
 def _features(patch: Array, win: Array) -> Array:
-    """Zero-mean unit-norm patch under a cosine window (MOSSE preproc;
-    log-scaling omitted — z-scoring makes it redundant for tracking)."""
+    """MOSSE preprocessing: log-scale, zero-mean unit-norm, cosine window
+    (Bolme et al. §3.1)."""
     p = jnp.log1p(jnp.maximum(patch, 0.0))
     p = p - jnp.mean(p)
     p = p / (jnp.linalg.norm(p) + 1e-6)
@@ -357,7 +357,13 @@ class DSST(MOSSE):
         resp = jnp.real(jnp.fft.ifft(
             jnp.sum(st.snum * Zf, axis=1) / (st.sden + p.lam)))
         i = jnp.argmax(resp)
-        ds = _wrap_disp(i, p.n_scales)
+        c = resp[i]
+        lo = resp[(i - 1) % p.n_scales]
+        hi = resp[(i + 1) % p.n_scales]
+        denom = 2.0 * c - lo - hi
+        off = jnp.where(jnp.abs(denom) > 1e-8,
+                        0.5 * (hi - lo) / (denom + 1e-12), 0.0)
+        ds = _wrap_disp(i, p.n_scales) + jnp.clip(off, -0.5, 0.5)
         scale = st.scale * p.scale_step ** ds
         scale = jnp.clip(scale, 1.0 / p.scale_max_ratio, p.scale_max_ratio)
         st = st._replace(center=center, scale=scale)

@@ -92,7 +92,10 @@ def _cv_available() -> dict:
     return avail
 
 
-# reference third-party keys (mtf.h:1978-2120); resolved lazily
+# reference third-party keys (mtf.h:1978-2120); resolved lazily.
+# NOTE: dsst/kcf (and mosse) are intercepted by the factory BEFORE this
+# registry and resolve to the native FFT implementations in sm/cf.py;
+# the keys stay listed here for reference-parity introspection.
 THIRD_PARTY_KEYS = ("dsst kcf cmt tld rct mil strk frg boost dft "
                     "pfsl3 visp cv3 gtrn csrt mf").split()
 
