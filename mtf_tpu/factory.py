@@ -132,8 +132,9 @@ def _grid_params(cfg: dict, estimator: str | None = None) -> GridParams:
         fb_err_px=float(cfg.get("grid_fb_err", -1.0)),
         patch_scale=float(cfg.get("grid_patch_scale", 1.0)),
         zncc=bool(cfg.get("grid_zncc", True)),
-        pyramid_levels=int(cfg.get("grid_pyramid_levels", 1)),
-        flow=str(cfg.get("grid_flow", "warped")),
+        pyramid_levels=int(cfg.get(
+            "grid_pyramid_levels", GridParams.pyramid_levels)),
+        flow=str(cfg.get("grid_flow", "warped")).lower(),
         seed=int(cfg.get("seed", 0)),
     )
 

@@ -13,7 +13,9 @@ the registration trackers.
 
 Variants:
 - MOSSE  (Bolme et al., CVPR'10): single-channel adaptive filter
-  H = num/den, num += lr * conj(G) . F, den += lr * F . conj(F).
+  H = num/den, num += lr * G . conj(F), den += lr * F . conj(F)
+  (training G.conj(F) + detecting ifft(num.Z/den) is the one consistent
+  convention — the reverse silently inverts the DSST scale filter).
 - KCF    (Henriques et al., TPAMI'15): kernelized ridge regression with
   a Gaussian kernel computed by circular cross-correlation in the
   Fourier domain; model = (alpha_f, x).

@@ -87,6 +87,10 @@ class GridTracker(SearchMethod):
     def __init__(self, am, ssm, prm=None, grid: GridParams | None = None):
         super().__init__(am, ssm, prm)
         self.grid = grid or GridParams()
+        if self.grid.flow not in ("warped", "rigid", "f2f"):
+            raise ValueError(
+                f"GridParams.flow must be one of 'warped'|'rigid'|'f2f', "
+                f"got {self.grid.flow!r}")
 
     # -- batched translation LK over all patches -----------------------
     def _track_patches(self, frame, norm_mat, pts_base, templates, n_iters):

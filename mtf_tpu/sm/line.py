@@ -103,9 +103,15 @@ class LineTracker(GridTracker):
         key, k_fit = jax.random.split(gs.key)
 
         centers_pred = ssm.warp_pts(state.ssm_state, gs.centers0)
-        centers_new = self._track_patches_pyr(
-            frame, region.norm_mat, centers_pred, gs.offsets, gs.templates,
-            g.sub_iters)
+        if g.flow == "warped":
+            pts_base = jax.vmap(
+                lambda c: ssm.warp_pts(state.ssm_state,
+                                       c[None, :] + gs.offsets))(gs.centers0)
+        else:
+            pts_base = centers_pred[:, None, :] + gs.offsets[None, :, :]
+        disp = self._track_patches_pyr(
+            frame, region.norm_mat, pts_base, gs.templates, g.sub_iters)
+        centers_new = centers_pred + disp
 
         snapped, conf = self._snap_to_lines(
             centers_new, jnp.ones(centers_new.shape[0], jnp.float32))

@@ -179,7 +179,10 @@ def test_grid_sm_factory_dispatch():
     from mtf_tpu import create_tracker
     from mtf_tpu.sm.grid import GridTracker as GT, SubTrackerGrid as STG
     t1 = create_tracker("grid", "ssd", "8", grid_res=4)
-    assert isinstance(t1, GT) and t1.grid.pyramid_levels == 1
+    # factory default must match GridParams' documented default (pyramidal
+    # flow is essential — ADVICE r1)
+    assert isinstance(t1, GT)
+    assert t1.grid.pyramid_levels == GridParams.pyramid_levels == 2
     t2 = create_tracker("grid", "ssd", "8", grid_res=4, grid_sm="cv")
     assert isinstance(t2, GT) and t2.grid.pyramid_levels == 3
     t3 = create_tracker("grid", "ssd", "8", grid_res=4, grid_sm="iclk",
