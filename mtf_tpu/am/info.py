@@ -58,14 +58,27 @@ class MI(AM):
 
 
 class CCRE(AM):
-    """Cross-cumulative residual entropy (reference CCRE.cc): MI-style
-    divergence where the candidate axis uses *cumulative* B-spline weights
-    (soft survival indicators), per Wang & Vemuri's CCRE."""
+    """Cross-cumulative residual entropy (Wang & Vemuri), exactly the
+    reference `AM/src/CCRE.cc` formulation:
+
+        f = sum_{b_c, b_i} P_cj(b_c, b_i) *
+            [log P_cj(b_c, b_i) - log S_t(b_c) - log P_0(b_i)]
+
+    where the current-image axis carries *cumulative* (survival)
+    B-spline weights `cumBSpl3(b - It)` (CCRE.cc:380-398) while the
+    template axis carries ordinary Parzen density weights
+    `bSpl3(b - I0)` (CCRE.cc:175-188), and every histogram is
+    pre-seeded then normalized by 1/(N + n_bins^2 * pre_seed)
+    (CCRE.cc:105-114). The dense (N, B) weight matrices make the
+    cumulative joint one MXU matmul, replacing the reference's 958-LoC
+    scatter loops (+ CCRE_tbb.cc); gradients/Hessians come by AD through
+    the splines instead of the hand-derived `ccre_log_term`
+    contractions."""
     name = "ccre"
 
     def _z(self, patch):
         return H.to_bin_coords(patch, self.prm.n_bins, self.prm.pix_min,
-                               self.prm.pix_max, self.prm.pre_seed)
+                               self.prm.pix_max, 1.0)
 
     def _init_extra(self, patch0):
         z0 = self._z(patch0)
@@ -77,22 +90,36 @@ class CCRE(AM):
         w0 = state.extra[0]
         zt = self._z(patch)
         wc = jax.vmap(lambda z: H.cum_bspl_weights(z, self.prm.n_bins),
-                      in_axes=1, out_axes=0)(zt)  # (C, N, B) cumulative
+                      in_axes=1, out_axes=0)(zt)  # (C, N, B) survival
+
+        B = self.prm.n_bins
+        pre = self.prm.pre_seed               # joint pre-seed (CCRE.cc:40)
+        hist_pre = B * pre                    # marginal (CCRE.cc:105)
 
         def chan(w0c, wcc):
             n = w0c.shape[0]
-            joint = jnp.dot(wcc.T, w0c,
-                            preferred_element_type=jnp.float32) / n  # (B, B)
-            ec = jnp.mean(wcc, axis=0)      # cumulative marginal (B,)
-            p0 = jnp.mean(w0c, axis=0)      # template marginal (B,)
-            eps = 1e-8
-            denom = ec[:, None] * p0[None, :]
-            return jnp.sum(joint * (jnp.log(joint + eps) - jnp.log(denom + eps)))
+            norm = 1.0 / (n + hist_pre * B)   # CCRE.cc:112
+            joint = (jnp.dot(wcc.T, w0c,
+                             preferred_element_type=jnp.float32)
+                     + pre) * norm            # (B_cum, B_init)
+            cum_h = (jnp.sum(wcc, axis=0) + hist_pre) * norm   # S_t
+            init_h = (jnp.sum(w0c, axis=0) + hist_pre) * norm  # P_0
+            log_term = (jnp.log(joint) - jnp.log(cum_h)[:, None]
+                        - jnp.log(init_h)[None, :])
+            return jnp.sum(joint * log_term)
 
         return jnp.sum(jax.vmap(chan)(w0, wc))
 
     def likelihood(self, state, patch):
         return jnp.exp(self.prm.likelihood_alpha * self.f(state, patch))
+
+    def dist_feat(self, patch):
+        # cumulative-weight feature space (CCRE's NN distance operates on
+        # the same survival histograms as the similarity)
+        zt = self._z(patch)
+        wc = jax.vmap(lambda z: H.cum_bspl_weights(z, self.prm.n_bins),
+                      in_axes=1, out_axes=0)(zt)
+        return wc.reshape(-1)
 
 
 class KLD(AM):

@@ -30,7 +30,7 @@ BUDGETS_PX = {
     "esm/ncc/8": 1.0,
     "pyr-esm/ncc/8": 1.0,
     "fclm/mi/8": 1.5,
-    "fclm/ccre/8": 2.5,
+    "fclm/ccre/8": 1.5,
     "pf500/ssd/2": 3.0,
     "nn1k/ssd/4": 3.0,
     # bare grid+RANSAC localization (chained-warp pyramidal patch flow);

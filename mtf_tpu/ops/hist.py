@@ -83,10 +83,13 @@ def bspl_weights(z: Array, n_bins: int) -> Array:
 
 
 def cum_bspl_weights(z: Array, n_bins: int) -> Array:
-    """Cumulative membership matrix (N, B): w[i, b] = cumBSpl3(b - z_i)
-    (soft indicator of bin >= pixel; CCRE's cumulative axis)."""
+    """Cumulative (survival) membership matrix (N, B):
+    w[i, b] = 1 - int_{-2}^{b - z_i} bspl3 — the reference `cumBSpl3`
+    orientation (histUtils.h:46-64: 1 for b <= z_i - 2, 0 for
+    b >= z_i + 2), i.e. a soft indicator of pixel > bin. CCRE's
+    cumulative-residual axis (CCRE.cc:380-398)."""
     bins = jnp.arange(n_bins, dtype=z.dtype)
-    return cum_bspl3(bins[None, :] - z[:, None])
+    return 1.0 - cum_bspl3(bins[None, :] - z[:, None])
 
 
 def marginal_hist(w: Array, eps: float = 1e-8) -> Array:
