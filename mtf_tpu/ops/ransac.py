@@ -21,9 +21,16 @@ def min_sample_size(ssm) -> int:
     return max(1, (ssm.dof + 1) // 2)
 
 
+def hyp_indices(key: Array, n_hyps: int, n_pts: int,
+                sample_size: int) -> Array:
+    """The (H, sample_size) minimal-sample index draw. Shared by the
+    single-chip and hypothesis-sharded fits so both score the SAME
+    hypothesis set for the same key."""
+    return jax.random.randint(key, (n_hyps, sample_size), 0, n_pts)
+
+
 def _hypotheses(ssm, src, dst, key, n_hyps, sample_size):
-    n = src.shape[0]
-    idx = jax.random.randint(key, (n_hyps, sample_size), 0, n)
+    idx = hyp_indices(key, n_hyps, src.shape[0], sample_size)
     return jax.vmap(lambda i: ssm.fit_pts(src[i], dst[i]))(idx)  # (H, S)
 
 

@@ -13,9 +13,11 @@ Axes (SURVEY.md §2.6 mapping):
 from mtf_tpu.parallel.mesh import make_mesh, tracker_sharding
 from mtf_tpu.parallel.fleet import TrackerFleet
 from mtf_tpu.parallel.pf_shard import ShardedPF
+from mtf_tpu.parallel.nn_shard import ShardedNN
+from mtf_tpu.parallel.grid_shard import ShardedGridTracker
 from mtf_tpu.parallel.patch_shard import sharded_gn_step
 
 __all__ = [
     "make_mesh", "tracker_sharding", "TrackerFleet", "ShardedPF",
-    "sharded_gn_step",
+    "ShardedNN", "ShardedGridTracker", "sharded_gn_step",
 ]

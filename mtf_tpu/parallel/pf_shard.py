@@ -4,26 +4,26 @@ BASELINE milestone config #4. The reference PF is a serial per-particle
 loop with a binary-search multinomial resampler
 (`/root/reference/SM/src/NT/PF.cc:207-480`); the single-chip rebuild
 (`mtf_tpu/sm/pf.py`) turns that into one vmap. This module shards that
-vmap over mesh axis `particle` with `shard_map`:
+vmap over mesh axis `particle` with `shard_map`.
 
-  * propagate + measure: embarrassingly parallel per shard;
-  * weight normalization: global log-sum-exp = `pmax` + `psum` over ICI;
-  * effective-sample-size test: `psum(w^2)`;
-  * systematic resampling: globally stratified u_i against the global
-    cumulative weight vector. Particle states are tiny ((P, S), S<=8), so
-    the global weight/state tables are `all_gather`ed (rides ICI) and each
-    shard keeps its own 1/n_dev slice of the resampled population;
-  * mean state: `psum` of weight-convex combinations.
+Design: the *expensive* part of a PF update — per-particle propagate +
+patch gather + likelihood (`PF._propagate_measure`) — is embarrassingly
+parallel and runs on local particle slices. The *cheap* cross-particle
+part — weight normalization, ESS test, systematic resampling, sampler-
+distribution adaptation, mean state (`PF._finish`) — operates on tiny
+(P, S<=8) arrays, so the per-shard results are `all_gather`ed (rides ICI)
+and the IDENTICAL full-population code runs replicated on every shard,
+each keeping its 1/n_dev slice of the output. Randomness is drawn from
+replicated keys and sliced per shard, so for the same seed a ShardedPF
+step is numerically the same program as a PF step — the
+`tests/test_shard_parity.py` equivalence tests rely on this.
 
-Semantics match `mtf_tpu.sm.pf.PF` exactly for the same seed layout; the
-resampling branch is computed unconditionally and selected with `where`
-(collectives inside `lax.cond` require replicated predicates — computing
-both sides keeps the SPMD program trivially correct, and the resample path
-is only gathers).
+Full PF feature parity: multi-distribution adaptive samplers
+(`ssm_sigmas`/`distr_log_w`), photometric AM-state particles (`am_sigma`),
+`jacobian_as_sigma` (computed replicated — it only needs the current state
+and frame), and all mean types including the Lie Karcher mean.
 """
 from __future__ import annotations
-
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -59,8 +59,12 @@ class ShardedPF(PF):
         repl = NamedSharding(mesh, P())
 
         def spec_of(state: TrackerState):
+            # zero-width (P, 0) am_particles are canonicalized to
+            # replicated by XLA; shard them only when AM sampling is on
             ps = PFState(particles=part, prev_particles=part,
-                         log_weights=part, key=repl)
+                         log_weights=part, key=repl,
+                         distr_log_w=repl,
+                         am_particles=part if self._sample_am else repl)
             return TrackerState(ssm_state=repl, am_state=jax.tree.map(
                 lambda _: repl, state.am_state), region=jax.tree.map(
                 lambda _: repl, state.region), extra=ps)
@@ -71,104 +75,85 @@ class ShardedPF(PF):
         return jax.device_put(state, self._state_shardings()(state))
 
     def _update(self, state: TrackerState, frame: Array) -> TrackerState:
-        ssm, am, pf = self.ssm, self.am, self.pf
+        am, pf = self.am, self.pf
         P_total = pf.n_particles
         n_dev = self.mesh.shape[self.axis]
         P_loc = P_total // n_dev
         ps: PFState = state.extra
-        sigma = self._sigma(state.region)
-        compositional = pf.update_type == "compositional"
         ax = self.axis
 
-        def shard_update(particles, prev, log_w_prev, key, frame):
-            """Runs on one shard: (P_loc, S) particles."""
+        # jacobian-as-sigma needs only the (replicated) current state and
+        # frame: one GN step, computed once outside the manual region
+        sigma = self._effective_sigma(state, frame)
+
+        def shard_update(particles, prev, am_p, log_w_prev, key, distr_lw,
+                         frame, sigma):
+            """particles/prev/log_w_prev are this shard's slices; am_p is
+            a local slice when AM sampling is on, else the (P, 0) full
+            array (replicated); key/distr_lw/frame/sigma replicated."""
             idx = jax.lax.axis_index(ax)
-            key, k_prop, k_res = jax.random.split(key, 3)
-            k_prop = jax.random.fold_in(k_prop, idx)
-            prop_keys = jax.random.split(k_prop, P_loc)
 
-            # 1. propagate (local vmap)
-            if pf.dynamic_model == "ar1":
-                prop = jax.vmap(lambda k, s, sp: ssm.auto_regression1(
-                    k, s, sp, sigma, pf.ar_alpha, compositional))(
-                        prop_keys, particles, prev)
+            def loc(x):
+                return jax.lax.dynamic_slice_in_dim(x, idx * P_loc, P_loc)
+
+            # replicated draws sliced per shard == the PF's global draws
+            key, k_prop, k_res, k_distr, k_am = jax.random.split(key, 5)
+            prop_keys = loc(jax.random.split(k_prop, P_total))
+
+            if self._sample_am:
+                noise = jax.random.normal(
+                    k_am, (P_total, am_p.shape[1]), jnp.float32)
+                am_loc = am_p + jnp.asarray(
+                    pf.am_sigma, jnp.float32)[None, :] * loc(noise)
             else:
-                prop = jax.vmap(lambda k, s: ssm.random_walk(
-                    k, s, sigma, compositional))(prop_keys, particles)
+                am_loc = loc(am_p)  # (P_loc, 0) slice of replicated input
 
-            # 2. measure (local batched gather + likelihood)
-            patches = jax.vmap(
-                lambda s: self._particle_patch(state.region, s, frame))(prop)
-            log_lik = jax.vmap(
-                lambda p: self._log_lik(state.am_state, p))(patches)
-            log_w = log_w_prev + log_lik
+            d_idx, sig_p = self._draw_sigmas(k_distr, distr_lw, sigma,
+                                             P_total)
 
-            # global log-sum-exp normalization: pmax + psum over ICI
-            m = jax.lax.pmax(jnp.max(log_w), ax)
-            z = jax.lax.psum(jnp.sum(jnp.exp(log_w - m)), ax)
-            log_w = log_w - (m + jnp.log(z))
-            w = jnp.exp(log_w)
+            # 1-2. propagate + measure on the local slice (the hot part)
+            prop_loc, log_lik_loc = self._propagate_measure(
+                state, frame, prop_keys, particles, prev, loc(sig_p),
+                am_loc)
 
-            # 3. resampling decision on globally-reduced ESS
-            n_eff = 1.0 / jnp.maximum(jax.lax.psum(jnp.sum(w * w), ax),
-                                      1e-30)
+            # gather the tiny per-particle tables; everything below runs
+            # replicated and identical to PF._finish
+            gather = lambda x: jax.lax.all_gather(x, ax, tiled=True)  # noqa: E731
+            prop = gather(prop_loc)
+            log_w = gather(log_w_prev) + gather(log_lik_loc)
+            log_w = log_w - jax.scipy.special.logsumexp(log_w)
 
-            # systematic resampling against the global cumulative weights;
-            # this shard draws its own stratified slice of [0,1)
-            w_all = jax.lax.all_gather(w, ax, tiled=True)          # (P,)
-            prop_all = jax.lax.all_gather(prop, ax, tiled=True)    # (P, S)
-            prev_all = jax.lax.all_gather(particles, ax, tiled=True)
-            cum = jnp.cumsum(w_all)
-            u0 = jax.random.uniform(k_res, ())  # same on all shards
-            u = (idx * P_loc + jnp.arange(P_loc, dtype=jnp.float32) + u0) \
-                / P_total
-            sel = jnp.clip(jnp.searchsorted(cum, u), 0, P_total - 1)
-            res_prop = prop_all[sel]
-            res_prev = prev_all[sel]
-            res_logw = jnp.full((P_loc,), -jnp.log(float(P_total)),
-                                jnp.float32)
+            (prop, prev_out, am_out, log_w, new_dlw, mean_state,
+             am_state) = self._finish(state, prop, gather(particles),
+                                      gather(am_loc), log_w, d_idx,
+                                      distr_lw, k_res)
+            am_ret = loc(am_out) if self._sample_am else am_out
+            return (loc(prop), loc(prev_out), am_ret, loc(log_w),
+                    key, new_dlw, mean_state, am_state)
 
-            do_res = jnp.logical_and(
-                pf.resampling != "none",
-                n_eff < pf.n_eff_ratio * P_total)
-            new_prop = jnp.where(do_res, res_prop, prop)
-            new_prev = jnp.where(do_res, res_prev, particles)
-            new_logw = jnp.where(do_res, res_logw, log_w)
-
-            # 4. state estimate (global psum-weighted mean)
-            w_out = jnp.exp(new_logw)
-            w_out = w_out / jnp.maximum(
-                jax.lax.psum(jnp.sum(w_out), ax), 1e-30)
-            if pf.mean_type == "best":
-                i_loc = jnp.argmax(new_logw)
-                best_here = jnp.concatenate(
-                    [new_logw[i_loc][None], new_prop[i_loc]])
-                bests = jax.lax.all_gather(best_here, ax)  # (n_dev, 1+S)
-                mean_state = bests[jnp.argmax(bests[:, 0]), 1:]
-            elif pf.mean_type == "corner":
-                corners = jax.vmap(lambda s: ssm.warp_pts(
-                    s, state.region.base_corners))(new_prop)
-                mean_c = jax.lax.psum(
-                    jnp.sum(w_out[:, None, None] * corners, axis=0), ax)
-                mean_state = ssm.fit_pts(state.region.base_corners, mean_c)
-            else:
-                mean_state = jax.lax.psum(
-                    jnp.sum(w_out[:, None] * new_prop, axis=0), ax)
-
-            return new_prop, new_prev, new_logw, key, mean_state
-
-        pspec = P(ax)
-        rspec = P()
+        pspec, rspec = P(ax), P()
+        # check_vma=False: `_finish` mixes all_gather'ed values (typed
+        # "varying") with fresh constants ("unvarying") inside lax.cond
+        # branches; the values are genuinely replicated after the gathers,
+        # so the replication check is disabled rather than threading
+        # pcast annotations through shared PF code.
+        amspec = pspec if self._sample_am else rspec
         shard_fn = jax.shard_map(
             shard_update, mesh=self.mesh,
-            in_specs=(pspec, pspec, pspec, rspec, rspec),
-            out_specs=(pspec, pspec, pspec, rspec, rspec))
-        prop, prev_out, log_w, key, mean_state = shard_fn(
-            ps.particles, ps.prev_particles, ps.log_weights, ps.key, frame)
+            in_specs=(pspec, pspec, amspec, pspec, rspec, rspec, rspec,
+                      rspec),
+            out_specs=(pspec, pspec, amspec, pspec, rspec, rspec, rspec,
+                       rspec),
+            check_vma=False)
+        (prop, prev_out, am_prop, log_w, key, new_dlw, mean_state,
+         am_state) = shard_fn(ps.particles, ps.prev_particles,
+                              ps.am_particles, ps.log_weights, ps.key,
+                              ps.distr_log_w, frame, sigma)
 
         new_extra = PFState(particles=prop, prev_particles=prev_out,
-                            log_weights=log_w, key=key)
+                            log_weights=log_w, key=key,
+                            distr_log_w=new_dlw, am_particles=am_prop)
         new_state = state._replace(ssm_state=mean_state, extra=new_extra)
         patch = self._particle_patch(state.region, mean_state, frame)
         return new_state._replace(
-            am_state=am.update_model(state.am_state, patch))
+            am_state=am.update_model(am_state, patch))

@@ -236,17 +236,25 @@ class GridTracker(SearchMethod):
             weights = jnp.where(jnp.sum(weights) >= ransac.min_sample_size(ssm),
                                 weights, jnp.ones_like(weights))
 
-        scale = region.norm_mat[0, 0]
-        new_ssm, inl = ransac.robust_fit(
-            ssm, gs.centers0, centers_new, k_fit, method=g.estimator,
-            n_hyps=g.n_hyps, inlier_thresh=g.inlier_thresh_px / scale,
-            weights=weights)
+        new_ssm, inl = self._fit_warp(region, gs.centers0, centers_new,
+                                      k_fit, weights)
 
         new_extra = gs._replace(
             key=key, inlier_mask=inl,
             prev_frame=frame if (g.flow == "f2f" or g.fb_err_px > 0)
             else None)
         return state._replace(ssm_state=new_ssm, extra=new_extra)
+
+    def _fit_warp(self, region, centers0, centers_new, k_fit, weights=None):
+        """Robust warp fit from patch correspondences (GridTracker.cc:269
+        -> SSMEstimator). ShardedGridTracker overrides this with the
+        hypothesis axis sharded over the mesh."""
+        g = self.grid
+        scale = region.norm_mat[0, 0]
+        return ransac.robust_fit(
+            self.ssm, centers0, centers_new, k_fit, method=g.estimator,
+            n_hyps=g.n_hyps, inlier_thresh=g.inlier_thresh_px / scale,
+            weights=weights)
 
 
 class SubGridState(NamedTuple):

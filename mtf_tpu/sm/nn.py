@@ -116,23 +116,29 @@ class NN(SearchMethod):
         pts = W.apply_warp(region.norm_mat, pts_t)
         return interp.sample(frame, pts, self.prm.interp, self.prm.border)
 
-    def _init_extra(self, state: TrackerState, frame: Array):
-        """Dataset generation: one vmapped warp+gather over K samples
-        (reference NN::generateDataset, NN.cc:131)."""
+    def _feat_at(self, region, s, frame):
+        return self.am.dist_feat(self._patch_at(region, s, frame))
+
+    def _draw_dps(self, state: TrackerState) -> Array:
+        """The (K, S) dataset perturbation draw (identical in NN and
+        ShardedNN — both slice/shard around the same replicated draw)."""
         K = self.nn.n_samples
         sigma = self._sigma(state.region)
         key = jax.random.PRNGKey(self.nn.seed)
         dps = sigma[None, :] * jax.random.normal(
             key, (K, self.ssm.dof), jnp.float32)
         # sample 0 is the identity so a perfect match stays put
-        dps = dps.at[0].set(0.0)
+        return dps.at[0].set(0.0)
 
-        def sample_feat(dp):
-            patch = self._patch_at(state.region, dp, frame)
-            return self.am.dist_feat(patch)
+    def _init_extra(self, state: TrackerState, frame: Array):
+        """Dataset generation: one vmapped warp+gather over K samples
+        (reference NN::generateDataset, NN.cc:131)."""
+        K = self.nn.n_samples
+        dps = self._draw_dps(state)
 
-        feats = jax.lax.map(sample_feat, dps,
-                            batch_size=min(K, 256))  # bounded memory
+        feats = jax.lax.map(
+            lambda dp: self._feat_at(state.region, dp, frame), dps,
+            batch_size=min(K, 256))  # bounded memory
         # if the current patch matches the template viewed under dp, the
         # state correction is dp^-1 (reference inverts the perturbations at
         # dataset build, NN.cc generateDataset) — store the inverses
@@ -148,13 +154,11 @@ class NN(SearchMethod):
                        key=jax.random.PRNGKey(self.nn.seed + 1),
                        graph=graph)
 
-    def _update(self, state: TrackerState, frame: Array) -> TrackerState:
-        ssm, nn = self.ssm, self.nn
-        ns: NNState = state.extra
-
-        def corners_of(s):
-            c_t = ssm.warp_pts(s, state.region.base_corners)
-            return W.apply_warp(state.region.norm_mat, c_t)
+    def _best_idx(self, ns: NNState, q: Array) -> Array:
+        """Index of the nearest dataset sample to query feature `q` —
+        the per-frame search step. ShardedNN overrides this with a
+        per-shard argmin + all_gather over the mesh."""
+        nn = self.nn
 
         def graph_descent(q):
             """Greedy kNN-graph descent (reference GNN::searchGraph,
@@ -185,16 +189,25 @@ class NN(SearchMethod):
                            jnp.asarray(False), jnp.zeros((), jnp.int32)))
             return best
 
+        if nn.use_gnn:
+            return graph_descent(q)
+        # L2 distances via one MXU matmul (||x||^2 - 2 x.q + const)
+        scores = ns.feats_sq - 2.0 * (ns.feats @ q)
+        return jnp.argmin(scores)
+
+    def _update(self, state: TrackerState, frame: Array) -> TrackerState:
+        ssm, nn = self.ssm, self.nn
+        ns: NNState = state.extra
+
+        def corners_of(s):
+            c_t = ssm.warp_pts(s, state.region.base_corners)
+            return W.apply_warp(state.region.norm_mat, c_t)
+
         def body(carry):
             s, it, done = carry
             patch = self._patch_at(state.region, s, frame)
             q = self.am.dist_feat(patch)
-            if nn.use_gnn:
-                best = graph_descent(q)
-            else:
-                # L2 distances via one MXU matmul (||x||^2 - 2 x.q + const)
-                scores = ns.feats_sq - 2.0 * (ns.feats @ q)
-                best = jnp.argmin(scores)
+            best = self._best_idx(ns, q)
             s_new = ssm.compositional_update(s, ns.dps[best])
             change = jnp.max(jnp.linalg.norm(
                 corners_of(s_new) - corners_of(s), axis=-1))

@@ -120,35 +120,80 @@ class PF(SearchMethod):
             distr_log_w=jnp.full((D,), -jnp.log(D), jnp.float32),
             am_particles=am_p)
 
+    # -- update pieces (shared with parallel.pf_shard.ShardedPF) --------
+    def _effective_sigma(self, state: TrackerState, frame: Array) -> Array:
+        """Sampler sigma; with `jacobian_as_sigma` the magnitude of one
+        Gauss-Newton step at the current state (NT/PF.cc:214-227):
+        exploration widens exactly where the similarity surface says the
+        state is uncertain."""
+        ssm, am, pf = self.ssm, self.am, self.pf
+        sigma = self._sigma(state.region)
+        if not pf.jacobian_as_sigma:
+            return sigma
+        region = state.region
+        compositional = pf.update_type == "compositional"
+
+        def pts_fn(dp):
+            pts_t = ssm.warp_pts_from(state.ssm_state, dp,
+                                      region.base_pts, compositional)
+            return W.apply_warp(region.norm_mat, pts_t)
+
+        zero = jnp.zeros((ssm.dof,), jnp.float32)
+        Jpts = jax.jacfwd(pts_fn)(zero)                   # (N, 2, S)
+        patch = interp.sample(frame, pts_fn(zero), self.prm.interp,
+                              self.prm.border)
+        grad = interp.sample_grad(frame, pts_fn(zero), self.prm.interp,
+                                  self.prm.border)        # (N, C, 2)
+        J = jnp.einsum("ncd,nds->ncs", grad, Jpts) \
+               .reshape(-1, ssm.dof)                      # (NC, S)
+        g = am.grad_corrected(state.am_state, patch).reshape(-1)
+        H = J.T @ J + 1e-6 * jnp.eye(ssm.dof)
+        step = jnp.linalg.solve(H, J.T @ g)
+        return jnp.maximum(jnp.abs(step), 0.1 * sigma)
+
+    def _draw_sigmas(self, k_distr, distr_log_w, sigma, P):
+        """Per-particle sigma: single distribution, or one of D presets
+        drawn from the adaptive distribution weights. Returns (d_idx (P,),
+        sig_p (P, S))."""
+        pf = self.pf
+        if pf.ssm_sigmas and not pf.jacobian_as_sigma:
+            sigmas = jnp.asarray(pf.ssm_sigmas, jnp.float32)   # (D, S)
+            d_idx = jax.random.categorical(k_distr, distr_log_w,
+                                           shape=(P,))
+            sig_p = sigmas[d_idx]                              # (P, S)
+        else:
+            d_idx = jnp.zeros((P,), jnp.int32)
+            sig_p = jnp.broadcast_to(sigma, (P, sigma.shape[0]))
+        return d_idx, sig_p
+
+    def _propagate_measure(self, state, frame, prop_keys, particles,
+                           prev_particles, sig_p, am_prop):
+        """Steps 1-2 of the PF update: the per-particle propagate +
+        patch-gather + likelihood (NT/PF.cc:261 loop as one vmap). This is
+        the expensive, embarrassingly parallel piece — the one ShardedPF
+        runs on local particle slices. Returns (prop, log_lik)."""
+        ssm, pf = self.ssm, self.pf
+        compositional = pf.update_type == "compositional"
+        if pf.dynamic_model == "ar1":
+            prop = jax.vmap(lambda k, s, sp, sg: ssm.auto_regression1(
+                k, s, sp, sg, pf.ar_alpha, compositional))(
+                    prop_keys, particles, prev_particles, sig_p)
+        else:
+            prop = jax.vmap(lambda k, s, sg: ssm.random_walk(
+                k, s, sg, compositional))(prop_keys, particles, sig_p)
+
+        patches = jax.vmap(
+            lambda s: self._particle_patch(state.region, s, frame))(prop)
+        log_lik = jax.vmap(
+            lambda p, pa: self._log_lik(state.am_state, p, pa))(
+                patches, am_prop)
+        return prop, log_lik
+
     def _update(self, state: TrackerState, frame: Array) -> TrackerState:
         ssm, am, pf = self.ssm, self.am, self.pf
         P = pf.n_particles
         ps: PFState = state.extra
-        sigma = self._sigma(state.region)
-        compositional = pf.update_type == "compositional"
-        if pf.jacobian_as_sigma:
-            # sampler sigma = magnitude of one Gauss-Newton step at the
-            # current state (NT/PF.cc:214-227): exploration widens exactly
-            # where the similarity surface says the state is uncertain
-            region = state.region
-
-            def pts_fn(dp):
-                pts_t = ssm.warp_pts_from(state.ssm_state, dp,
-                                          region.base_pts, compositional)
-                return W.apply_warp(region.norm_mat, pts_t)
-
-            zero = jnp.zeros((ssm.dof,), jnp.float32)
-            Jpts = jax.jacfwd(pts_fn)(zero)                   # (N, 2, S)
-            patch = interp.sample(frame, pts_fn(zero), self.prm.interp,
-                                  self.prm.border)
-            grad = interp.sample_grad(frame, pts_fn(zero), self.prm.interp,
-                                      self.prm.border)        # (N, C, 2)
-            J = jnp.einsum("ncd,nds->ncs", grad, Jpts) \
-                   .reshape(-1, ssm.dof)                      # (NC, S)
-            g = am.grad_corrected(state.am_state, patch).reshape(-1)
-            H = J.T @ J + 1e-6 * jnp.eye(ssm.dof)
-            step = jnp.linalg.solve(H, J.T @ g)
-            sigma = jnp.maximum(jnp.abs(step), 0.1 * sigma)
+        sigma = self._effective_sigma(state, frame)
 
         key, k_prop, k_res, k_distr, k_am = jax.random.split(ps.key, 5)
         prop_keys = jax.random.split(k_prop, P)
@@ -160,36 +205,40 @@ class PF(SearchMethod):
                 pf.am_sigma, jnp.float32)[None, :] * jax.random.normal(
                     k_am, am_prop.shape, jnp.float32)
 
-        # per-particle sigma: single distribution, or one of D presets
-        # drawn from the adaptive distribution weights
-        n_distr = max(1, len(pf.ssm_sigmas))
-        if pf.ssm_sigmas and not pf.jacobian_as_sigma:
-            sigmas = jnp.asarray(pf.ssm_sigmas, jnp.float32)   # (D, S)
-            d_idx = jax.random.categorical(k_distr, ps.distr_log_w,
-                                           shape=(P,))
-            sig_p = sigmas[d_idx]                              # (P, S)
-        else:
-            d_idx = jnp.zeros((P,), jnp.int32)
-            sig_p = jnp.broadcast_to(sigma, (P, sigma.shape[0]))
+        d_idx, sig_p = self._draw_sigmas(k_distr, ps.distr_log_w, sigma, P)
 
-        # 1. propagate (vmap over particles; NT/PF.cc:261 loop)
-        if pf.dynamic_model == "ar1":
-            prop = jax.vmap(lambda k, s, sp, sg: ssm.auto_regression1(
-                k, s, sp, sg, pf.ar_alpha, compositional))(
-                    prop_keys, ps.particles, ps.prev_particles, sig_p)
-        else:
-            prop = jax.vmap(lambda k, s, sg: ssm.random_walk(
-                k, s, sg, compositional))(prop_keys, ps.particles, sig_p)
-
-        # 2. measure (batched patch gather + likelihood)
-        patches = jax.vmap(
-            lambda s: self._particle_patch(state.region, s, frame))(prop)
-        log_lik = jax.vmap(
-            lambda p, pa: self._log_lik(state.am_state, p, pa))(
-                patches, am_prop)
+        # 1-2. propagate + measure
+        prop, log_lik = self._propagate_measure(
+            state, frame, prop_keys, ps.particles, ps.prev_particles,
+            sig_p, am_prop)
 
         log_w = ps.log_weights + log_lik
         log_w = log_w - jax.scipy.special.logsumexp(log_w)
+
+        (prop, prev_out, am_prop, log_w, new_dlw, mean_state,
+         am_state) = self._finish(state, prop, ps.particles, am_prop,
+                                  log_w, d_idx, ps.distr_log_w, k_res)
+
+        new_extra = PFState(particles=prop, prev_particles=prev_out,
+                            log_weights=log_w, key=key,
+                            distr_log_w=new_dlw, am_particles=am_prop)
+        new_state = state._replace(ssm_state=mean_state, extra=new_extra)
+        patch = self._particle_patch(state.region, mean_state, frame)
+        return new_state._replace(
+            am_state=am.update_model(am_state, patch))
+
+    def _finish(self, state, prop, prev_particles, am_prop, log_w, d_idx,
+                distr_log_w, k_res):
+        """Steps 3-4 of the PF update on the FULL particle population:
+        adaptive resampling, sampler-distribution re-weighting and the
+        state estimate. Pure full-array logic — ShardedPF `all_gather`s the
+        per-shard proposals and runs this identical code replicated, which
+        is what makes sharded == unsharded exact for the same seed.
+        Returns (prop, prev_out, am_prop, log_w, new_dlw, mean_state,
+        am_state)."""
+        ssm, pf = self.ssm, self.pf
+        P = pf.n_particles
+        n_distr = max(1, len(pf.ssm_sigmas))
 
         # 3. adaptive resampling (parallel systematic; NT/PF.cc:450-480)
         w = jnp.exp(log_w)
@@ -200,11 +249,11 @@ class PF(SearchMethod):
         if n_distr > 1 and pf.adapt_distr:
             mass = jax.ops.segment_sum(w, d_idx, num_segments=n_distr)
             mass = mass + 1e-6
-            new_dlw = jnp.log(0.5 * jnp.exp(ps.distr_log_w)
+            new_dlw = jnp.log(0.5 * jnp.exp(distr_log_w)
                               + 0.5 * mass / jnp.sum(mass))
             new_dlw = new_dlw - jax.scipy.special.logsumexp(new_dlw)
         else:
-            new_dlw = ps.distr_log_w
+            new_dlw = distr_log_w
 
         def resample(args):
             prop, prev, am_p, log_w = args
@@ -219,9 +268,9 @@ class PF(SearchMethod):
         if pf.resampling != "none":
             prop, prev_out, am_prop, log_w = jax.lax.cond(
                 n_eff < pf.n_eff_ratio * P, resample,
-                lambda a: a, (prop, ps.particles, am_prop, log_w))
+                lambda a: a, (prop, prev_particles, am_prop, log_w))
         else:
-            prev_out = ps.particles
+            prev_out = prev_particles
 
         # 4. state estimate (PFParams mean options)
         w = jnp.exp(log_w - jax.scipy.special.logsumexp(log_w))
@@ -237,16 +286,10 @@ class PF(SearchMethod):
             # parameterizations (ssm.mean_of_samples override)
             mean_state = ssm.mean_of_samples(prop, w)
 
-        new_extra = PFState(particles=prop, prev_particles=prev_out,
-                            log_weights=log_w, key=key,
-                            distr_log_w=new_dlw, am_particles=am_prop)
         am_state = state.am_state
         if self._sample_am:
             # weighted-mean photometric state (estimateMeanOfSamples for
             # the AM side; ILM params are additive so Euclidean is exact)
             am_state = am_state._replace(
                 p_am=jnp.sum(w[:, None] * am_prop, axis=0))
-        new_state = state._replace(ssm_state=mean_state, extra=new_extra)
-        patch = self._particle_patch(state.region, mean_state, frame)
-        return new_state._replace(
-            am_state=am.update_model(am_state, patch))
+        return prop, prev_out, am_prop, log_w, new_dlw, mean_state, am_state
