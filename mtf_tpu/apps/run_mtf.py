@@ -335,8 +335,13 @@ def main(argv=None):
 def _run_fleet(args, tracker, frames, gt_multi, seq_name, combo):
     """N-object tracking as ONE vmapped fleet update per frame — the
     TPU-native replacement for runMTF's per-tracker update loop
-    (runMTF.cc:704). Per-frame protocols (reinit/reset) don't apply here;
-    use n_objs=1 for protocol runs."""
+    (runMTF.cc:704) — under the full evaluation protocol: per-object
+    reinit-on-failure with skip windows (runMTF.cc:499-559) and the
+    reinit/reset-at-each-frame modes (runMTF.cc:560-599). A failed
+    object's slot is re-initialized from GT by scattering a fresh
+    single-tracker state into the batched pytree; its healthy neighbours
+    keep tracking uninterrupted — per-object errors therefore agree with
+    N separate single-object protocol runs (tests/test_fleet_protocol.py)."""
     import time as _time
 
     import jax
@@ -355,26 +360,63 @@ def _run_fleet(args, tracker, frames, gt_multi, seq_name, combo):
     warm = fleet.update(states, frames[0])
     jax.block_until_ready(jax.tree_util.tree_leaves(warm)[0])
 
+    def scatter_obj(batched, i, single):
+        """Write one tracker's state into slot i of the fleet pytree."""
+        return jax.tree_util.tree_map(
+            lambda b, s: b.at[i].set(s), batched, single)
+
     T = min(len(frames), len(gt_multi))
-    errors = np.zeros((T - 1, N))
+    errors = np.full((T - 1, N), np.nan)
+    n_failures = np.zeros(N, int)
+    skip_until = np.full(N, -1)
     tracked = []
     t0 = _time.perf_counter()
     for t in range(1, T):
         states = fleet.update(states, frames[t])
         corners = np.transpose(np.asarray(fleet.corners(states)),
                                (0, 2, 1))                    # (N, 4, 2)
-        tracked.append(corners)
         for i in range(N):
-            errors[t - 1, i] = err_fn(gt_multi[t, i], corners[i])
+            if t <= skip_until[i]:
+                # inside a failure skip window; reinit when it ends
+                if t == skip_until[i] or t == T - 1:
+                    states = scatter_obj(
+                        states, i, tracker.initialize(
+                            frames[t], jnp.asarray(gt_multi[t, i])))
+                continue
+            err = err_fn(gt_multi[t, i], corners[i])
+            invalid = not np.all(np.isfinite(corners[i]))
+            if args.reinit_on_failure and (
+                    invalid or err > args.reinit_err_thresh):
+                n_failures[i] += 1
+                skip_until[i] = t + args.reinit_frame_skip
+                if skip_until[i] >= T - 1:  # window past the sequence end
+                    skip_until[i] = T - 1
+                    states = scatter_obj(
+                        states, i, tracker.initialize(
+                            frames[T - 1],
+                            jnp.asarray(gt_multi[T - 1, i])))
+                continue
+            errors[t - 1, i] = err
+        tracked.append(corners)
+        # per-frame evaluation protocols: re-anchor every object to GT
+        if args.reinit_at_each_frame:
+            states = fleet.initialize(frames[t], jnp.asarray(gt_multi[t]))
+        elif args.reset_at_each_frame:
+            states = jax.vmap(tracker.set_region)(
+                states, jnp.asarray(gt_multi[t]))
     jax.block_until_ready(jax.tree_util.tree_leaves(states)[0])
     dt = _time.perf_counter() - t0
 
     obj_fps = N * (T - 1) / dt     # object-updates per second
-    avg_err = float(errors.mean())
+    finite = np.isfinite(errors)
+    avg_err = float(errors[finite].mean()) if finite.any() else float("nan")
+    per_obj = [float(errors[finite[:, i], i].mean())
+               if finite[:, i].any() else float("nan") for i in range(N)]
     summary = (f"{seq_name} {combo} objs={N} frames={T - 1} "
                f"fps={(T - 1) / dt:.1f} obj_fps={obj_fps:.1f} "
                f"avg_{args.err_metric}={avg_err:.3f} "
-               f"per_obj=[{', '.join(f'{e:.3f}' for e in errors.mean(0))}]")
+               f"failures={int(n_failures.sum())} "
+               f"per_obj=[{', '.join(f'{e:.3f}' for e in per_obj)}]")
     print(summary)
     if args.write_outputs:
         os.makedirs(args.out_dir, exist_ok=True)

@@ -22,6 +22,19 @@ Variants:
 - DSST   (Danelljan et al., BMVC'14): MOSSE-style translation filter +
   a separate 1-D correlation filter over a geometric scale pyramid.
 
+Features are multi-channel (res, res, C): `features="gray"` is the
+classic normalized-log grayscale plane; `features="hog"` stacks fHOG-
+style gradient-histogram channels (ops/hog.py — the TPU rebuild of the
+reference's `ThirdParty/DSST/src/fhog.cpp`) plus the gray plane, which
+is what the reference DSST/KCF actually run. The multi-channel filter
+algebra follows DSST eq. 4-5: per-channel numerators against one summed
+denominator.
+
+Every tracker also measures its peak-to-sidelobe ratio (PSR, Bolme §5)
+each frame: it is stored in the state (`st.psr`) as the native failure-
+detection signal, and when `psr_thresh > 0` frames below threshold skip
+the filter update (don't learn occlusions).
+
 All trackers are axis-aligned-bbox learners (like the reference's
 adapters, `ThirdParty/.../mtf.h` registry) and report the bbox as a
 4-corner region.
@@ -35,6 +48,7 @@ import jax
 import jax.numpy as jnp
 
 from mtf_tpu.ops import interp
+from mtf_tpu.ops.hog import cell_pool, hog
 
 Array = jax.Array
 
@@ -57,6 +71,11 @@ class CFParams:
     scale_lr: float = 0.025
     scale_sigma: float = 1.0       # DSST scale-label sigma (in scale steps)
     scale_max_ratio: float = 4.0   # clamp on total scale drift
+    features: str = "gray"         # "gray" | "hog" (fHOG + gray channels)
+    cell: int = 2                  # hog: sampled px per filter cell
+    n_orient: int = 9              # hog orientation bins (channels = 3n+5)
+    psr_thresh: float = 0.0        # skip filter update when PSR below
+    psr_guard: int = 5             # PSR sidelobe exclusion radius (px)
 
 
 def _window_pts(center: Array, sz: Array, res: int) -> Array:
@@ -80,13 +99,12 @@ def _hann2(res: int) -> Array:
     return jnp.outer(w, w).astype(jnp.float32)
 
 
-def _features(patch: Array, win: Array) -> Array:
-    """MOSSE preprocessing: log-scale, zero-mean unit-norm, cosine window
-    (Bolme et al. §3.1)."""
+def _gray_plane(patch: Array) -> Array:
+    """MOSSE preprocessing: log-scale, zero-mean unit-norm
+    (Bolme et al. §3.1). Window applied by the caller."""
     p = jnp.log1p(jnp.maximum(patch, 0.0))
     p = p - jnp.mean(p)
-    p = p / (jnp.linalg.norm(p) + 1e-6)
-    return p * win
+    return p / (jnp.linalg.norm(p) + 1e-6)
 
 
 def _gauss_label(res: int, sigma: float) -> Array:
@@ -121,6 +139,23 @@ def _peak_subpix(resp: Array) -> Array:
     return jnp.stack([dy, dx])
 
 
+def _psr(resp: Array, guard: int) -> Array:
+    """Peak-to-sidelobe ratio (Bolme §5): (peak - mu_side)/sigma_side,
+    sidelobe = everything outside a (2*guard+1)^2 wrapped window around
+    the peak."""
+    res = resp.shape[-1]
+    flat = jnp.argmax(resp)
+    iy, ix = flat // res, flat % res
+    r = jnp.arange(res)
+    dy = jnp.abs(jnp.mod(r - iy + res // 2, res) - res // 2)
+    dx = jnp.abs(jnp.mod(r - ix + res // 2, res) - res // 2)
+    side = (dy[:, None] > guard) | (dx[None, :] > guard)
+    n = jnp.maximum(jnp.sum(side), 1)
+    mu = jnp.sum(resp * side) / n
+    var = jnp.sum(jnp.square(resp - mu) * side) / n
+    return (resp.reshape(-1)[flat] - mu) / jnp.sqrt(var + 1e-12)
+
+
 def _corners_of(center: Array, sz: Array) -> Array:
     """(4, 2) axis-aligned corners ul,ur,lr,ll."""
     h = sz / 2.0
@@ -144,13 +179,14 @@ class MOSSEState(NamedTuple):
     center: Array     # (2,) xy
     base_sz: Array    # (2,) target w,h at init
     scale: Array      # () current scale (fixed 1.0 for MOSSE/KCF)
-    num: Array        # (res, res) complex filter numerator
-    den: Array        # (res, res) real filter denominator
+    num: Array        # (res, res, C) complex filter numerator
+    den: Array        # (res, res) real summed denominator
+    psr: Array        # () last peak-to-sidelobe ratio
     extra: tuple = ()
 
 
 class MOSSE:
-    """Minimum output sum of squared error filter (single channel)."""
+    """Minimum output sum of squared error filter (multi-channel)."""
 
     name = "mosse"
     ssm = None  # bbox tracker: no SSM (like the reference's adapters)
@@ -160,13 +196,31 @@ class MOSSE:
         self._win = _hann2(self.prm.res)
         sigma = self.prm.output_sigma_factor * self.prm.res
         self._G = jnp.fft.fft2(_gauss_label(self.prm.res, sigma))
+        self.n_channels = (1 if self.prm.features == "gray"
+                           else 3 * self.prm.n_orient + 5)
 
-    # -- filter algebra --------------------------------------------------
+    # -- features ---------------------------------------------------------
+    def _feat(self, frame, center, sz) -> Array:
+        """Windowed feature stack (res, res, C) for the tracking window."""
+        p = self.prm
+        if p.features == "hog":
+            raw = _grab(frame, center, sz, p.res * p.cell)
+            f = hog(raw, p.n_orient, p.cell)          # (res, res, 3n+4)
+            gray = _gray_plane(cell_pool(raw, p.cell))
+            f = jnp.concatenate([f, gray[..., None]], axis=-1)
+        else:
+            f = _gray_plane(_grab(frame, center, sz, p.res))[..., None]
+        return f * self._win[:, :, None]
+
+    # -- filter algebra ---------------------------------------------------
     def _train_terms(self, feat: Array):
-        """MOSSE closed form: H = num/den with num = G . conj(F),
-        den = F . conj(F); response = ifft2(H . Z)."""
-        F = jnp.fft.fft2(feat)
-        return self._G * jnp.conj(F), jnp.real(F * jnp.conj(F))
+        """MOSSE/DSST closed form: per-channel num = G . conj(F_c), one
+        summed den = sum_c F_c . conj(F_c); response
+        = ifft2(sum_c num_c . Z_c / (den + lam))."""
+        F = jnp.fft.fft2(feat, axes=(0, 1))           # (res, res, C)
+        num = self._G[:, :, None] * jnp.conj(F)
+        den = jnp.sum(jnp.real(F * jnp.conj(F)), axis=-1)
+        return num, den
 
     def _window_sz(self, st) -> Array:
         return st.base_sz * st.scale * self.prm.padding
@@ -175,31 +229,40 @@ class MOSSE:
         center, sz = _center_size_of(corners_img)
         st = MOSSEState(center=center, base_sz=sz,
                         scale=jnp.float32(1.0),
-                        num=jnp.zeros((self.prm.res,) * 2, jnp.complex64),
-                        den=jnp.zeros((self.prm.res,) * 2, jnp.float32))
-        feat = _features(_grab(frame, center, self._window_sz(st),
-                               self.prm.res), self._win)
+                        num=jnp.zeros((self.prm.res,) * 2 + (self.n_channels,),
+                                      jnp.complex64),
+                        den=jnp.zeros((self.prm.res,) * 2, jnp.float32),
+                        psr=jnp.float32(jnp.inf))
+        feat = self._feat(frame, center, self._window_sz(st))
         num, den = self._train_terms(feat)
         return st._replace(num=num, den=den)
 
-    def _locate(self, st, frame) -> Array:
-        """New center from the response peak of the current filter."""
+    def _locate(self, st, frame):
+        """(new center, psr) from the response peak of the current
+        filter."""
         wsz = self._window_sz(st)
-        feat = _features(_grab(frame, st.center, wsz, self.prm.res),
-                         self._win)
-        Z = jnp.fft.fft2(feat)
-        resp = jnp.real(jnp.fft.ifft2(st.num * Z / (st.den + self.prm.lam)))
+        feat = self._feat(frame, st.center, wsz)
+        Z = jnp.fft.fft2(feat, axes=(0, 1))
+        resp = jnp.real(jnp.fft.ifft2(
+            jnp.sum(st.num * Z, axis=-1) / (st.den + self.prm.lam)))
         d = _peak_subpix(resp)  # (dy, dx) in filter pixels
         step = wsz / self.prm.res
-        return st.center + jnp.stack([d[1] * step[0], d[0] * step[1]])
+        center = st.center + jnp.stack([d[1] * step[0], d[0] * step[1]])
+        return center, _psr(resp, self.prm.psr_guard)
+
+    def _lr(self, psr: Array) -> Array:
+        """Learning rate, zeroed on low-confidence frames (PSR gate)."""
+        p = self.prm
+        if p.psr_thresh <= 0.0:
+            return jnp.float32(p.lr)
+        return jnp.where(psr >= p.psr_thresh, p.lr, 0.0)
 
     def update(self, st: MOSSEState, frame) -> MOSSEState:
-        center = self._locate(st, frame)
-        st = st._replace(center=center)
-        feat = _features(_grab(frame, center, self._window_sz(st),
-                               self.prm.res), self._win)
+        center, psr = self._locate(st, frame)
+        st = st._replace(center=center, psr=psr)
+        feat = self._feat(frame, center, self._window_sz(st))
         num, den = self._train_terms(feat)
-        lr = self.prm.lr
+        lr = self._lr(psr)
         return st._replace(num=(1 - lr) * st.num + lr * num,
                            den=(1 - lr) * st.den + lr * den)
 
@@ -224,27 +287,34 @@ class KCFState(NamedTuple):
     base_sz: Array
     scale: Array
     alpha_f: Array    # (res, res) complex dual coefficients
-    model_x: Array    # (res, res) model template features
+    model_x: Array    # (res, res, C) model template features
+    psr: Array
 
 
 def _gauss_corr(xf: Array, yf: Array, sigma: float) -> Array:
     """Gaussian kernel at every circular shift, via the Fourier trick
-    (KCF eq. 31): k(tau) = exp(-(|x|^2 + |y|^2 - 2 x.y_tau) / sigma^2)."""
-    n = xf.shape[0] * xf.shape[1]
-    cross = jnp.real(jnp.fft.ifft2(xf * jnp.conj(yf)))
-    xx = jnp.sum(jnp.abs(xf) ** 2) / n
-    yy = jnp.sum(jnp.abs(yf) ** 2) / n
-    d = jnp.maximum(xx + yy - 2.0 * cross, 0.0) / n
+    (KCF eq. 31, multi-channel eq. 16): channels sum inside the
+    cross-correlation. Parseval: ||x||^2 = sum_c sum_f |xf_c|^2 / n_sp
+    (spatial size only — ifft2's 1/n_sp already matches it); the final
+    distance is normalized by the full element count like the KCF code's
+    numel(x)."""
+    n_sp = xf.shape[0] * xf.shape[1]
+    numel = n_sp * xf.shape[2]
+    cross = jnp.real(jnp.fft.ifft2(
+        jnp.sum(xf * jnp.conj(yf), axis=-1)))
+    xx = jnp.sum(jnp.abs(xf) ** 2) / n_sp
+    yy = jnp.sum(jnp.abs(yf) ** 2) / n_sp
+    d = jnp.maximum(xx + yy - 2.0 * cross, 0.0) / numel
     return jnp.exp(-d / (sigma ** 2))
 
 
 class KCF(MOSSE):
-    """Kernelized correlation filter (Gaussian kernel, grayscale)."""
+    """Kernelized correlation filter (Gaussian kernel)."""
 
     name = "kcf"
 
     def _train(self, feat: Array) -> Array:
-        xf = jnp.fft.fft2(feat)
+        xf = jnp.fft.fft2(feat, axes=(0, 1))
         kf = jnp.fft.fft2(_gauss_corr(xf, xf, self.prm.kernel_sigma))
         return self._G / (kf + self.prm.lam)
 
@@ -252,29 +322,30 @@ class KCF(MOSSE):
         center, sz = _center_size_of(corners_img)
         st = KCFState(center=center, base_sz=sz, scale=jnp.float32(1.0),
                       alpha_f=jnp.zeros((self.prm.res,) * 2, jnp.complex64),
-                      model_x=jnp.zeros((self.prm.res,) * 2, jnp.float32))
-        feat = _features(_grab(frame, center, self._window_sz(st),
-                               self.prm.res), self._win)
+                      model_x=jnp.zeros(
+                          (self.prm.res,) * 2 + (self.n_channels,),
+                          jnp.float32),
+                      psr=jnp.float32(jnp.inf))
+        feat = self._feat(frame, center, self._window_sz(st))
         return st._replace(alpha_f=self._train(feat), model_x=feat)
 
-    def _locate(self, st, frame) -> Array:
+    def _locate(self, st, frame):
         wsz = self._window_sz(st)
-        feat = _features(_grab(frame, st.center, wsz, self.prm.res),
-                         self._win)
-        zf = jnp.fft.fft2(feat)
-        xf = jnp.fft.fft2(st.model_x)
+        feat = self._feat(frame, st.center, wsz)
+        zf = jnp.fft.fft2(feat, axes=(0, 1))
+        xf = jnp.fft.fft2(st.model_x, axes=(0, 1))
         kzf = jnp.fft.fft2(_gauss_corr(zf, xf, self.prm.kernel_sigma))
         resp = jnp.real(jnp.fft.ifft2(kzf * st.alpha_f))
         d = _peak_subpix(resp)
         step = wsz / self.prm.res
-        return st.center + jnp.stack([d[1] * step[0], d[0] * step[1]])
+        center = st.center + jnp.stack([d[1] * step[0], d[0] * step[1]])
+        return center, _psr(resp, self.prm.psr_guard)
 
     def update(self, st: KCFState, frame) -> KCFState:
-        center = self._locate(st, frame)
-        st = st._replace(center=center)
-        feat = _features(_grab(frame, center, self._window_sz(st),
-                               self.prm.res), self._win)
-        lr = self.prm.lr
+        center, psr = self._locate(st, frame)
+        st = st._replace(center=center, psr=psr)
+        feat = self._feat(frame, center, self._window_sz(st))
+        lr = self._lr(psr)
         return st._replace(
             alpha_f=(1 - lr) * st.alpha_f + lr * self._train(feat),
             model_x=(1 - lr) * st.model_x + lr * feat)
@@ -288,15 +359,17 @@ class DSSTState(NamedTuple):
     center: Array
     base_sz: Array
     scale: Array
-    num: Array        # translation filter numerator
+    num: Array        # translation filter numerator (res, res, C)
     den: Array
     snum: Array       # (S, D) complex scale-filter numerator
     sden: Array       # (S,) real scale-filter denominator
+    psr: Array
 
 
 class DSST(MOSSE):
-    """Discriminative scale-space tracker: MOSSE translation filter plus
-    a 1-D correlation filter over a geometric scale pyramid."""
+    """Discriminative scale-space tracker: multi-channel translation
+    filter plus a 1-D correlation filter over a geometric scale
+    pyramid (Danelljan et al., BMVC'14; ThirdParty/DSST/src/dsst.cpp)."""
 
     name = "dsst"
 
@@ -315,13 +388,20 @@ class DSST(MOSSE):
 
     # -- scale features ---------------------------------------------------
     def _scale_feats(self, frame, center, base_sz, scale) -> Array:
-        """(S, D) feature matrix: one flattened low-res patch per scale."""
+        """(S, D) feature matrix: one flattened feature patch per scale
+        (hog cells when features='hog', like the reference DSST)."""
         p = self.prm
 
         def one(sf):
-            patch = _grab(frame, center, base_sz * scale * sf, p.scale_res)
-            patch = patch - jnp.mean(patch)
-            return patch.ravel() / (jnp.linalg.norm(patch) + 1e-6)
+            if p.features == "hog":
+                raw = _grab(frame, center, base_sz * scale * sf,
+                            p.scale_res * p.cell)
+                f = hog(raw, p.n_orient, p.cell).ravel()
+            else:
+                patch = _grab(frame, center, base_sz * scale * sf,
+                              p.scale_res)
+                f = (patch - jnp.mean(patch)).ravel()
+            return f / (jnp.linalg.norm(f) + 1e-6)
 
         feats = jax.vmap(one)(self._scale_factors)
         return feats * self._scale_win[:, None]
@@ -336,13 +416,11 @@ class DSST(MOSSE):
         center, sz = _center_size_of(corners_img)
         p = self.prm
         st = DSSTState(center=center, base_sz=sz, scale=jnp.float32(1.0),
-                       num=jnp.zeros((p.res,) * 2, jnp.complex64),
+                       num=jnp.zeros((p.res,) * 2 + (self.n_channels,),
+                                     jnp.complex64),
                        den=jnp.zeros((p.res,) * 2, jnp.float32),
-                       snum=jnp.zeros((p.n_scales, p.scale_res ** 2),
-                                      jnp.complex64),
-                       sden=jnp.zeros((p.n_scales,), jnp.float32))
-        feat = _features(_grab(frame, center, self._window_sz(st), p.res),
-                         self._win)
+                       snum=None, sden=None, psr=jnp.float32(jnp.inf))
+        feat = self._feat(frame, center, self._window_sz(st))
         num, den = self._train_terms(feat)
         snum, sden = self._scale_train(
             self._scale_feats(frame, center, sz, st.scale))
@@ -350,8 +428,8 @@ class DSST(MOSSE):
 
     def update(self, st: DSSTState, frame) -> DSSTState:
         p = self.prm
-        # 1. translation (MOSSE filter at current scale)
-        center = self._locate(st, frame)
+        # 1. translation (multi-channel filter at current scale)
+        center, psr = self._locate(st, frame)
 
         # 2. scale: 1-D filter response over the pyramid
         feats = self._scale_feats(frame, center, st.base_sz, st.scale)
@@ -368,15 +446,15 @@ class DSST(MOSSE):
         ds = _wrap_disp(i, p.n_scales) + jnp.clip(off, -0.5, 0.5)
         scale = st.scale * p.scale_step ** ds
         scale = jnp.clip(scale, 1.0 / p.scale_max_ratio, p.scale_max_ratio)
-        st = st._replace(center=center, scale=scale)
+        st = st._replace(center=center, scale=scale, psr=psr)
 
-        # 3. online update of both filters at the new state
-        feat = _features(_grab(frame, center, self._window_sz(st), p.res),
-                         self._win)
+        # 3. online update of both filters at the new state (PSR-gated)
+        feat = self._feat(frame, center, self._window_sz(st))
         num, den = self._train_terms(feat)
         snum, sden = self._scale_train(
             self._scale_feats(frame, center, st.base_sz, scale))
-        lr, slr = p.lr, p.scale_lr
+        lr = self._lr(psr)
+        slr = jnp.where(lr > 0.0, p.scale_lr, 0.0)
         return st._replace(
             num=(1 - lr) * st.num + lr * num,
             den=(1 - lr) * st.den + lr * den,
@@ -386,8 +464,17 @@ class DSST(MOSSE):
 
 CF_REGISTRY = {"mosse": MOSSE, "kcf": KCF, "dsst": DSST}
 
+# reference DSST/KCF run fHOG features (ThirdParty/DSST/src/fhog.cpp,
+# ThirdParty/KCF/src/gradientMex.cpp); MOSSE is grayscale by design
+_DEFAULT_FEATURES = {"mosse": "gray", "kcf": "hog", "dsst": "hog"}
+
 
 def get_cf_tracker(key: str, **cfg) -> MOSSE:
+    key = key.lower()
+    cfg.setdefault("features", _DEFAULT_FEATURES.get(key, "gray"))
+    if cfg["features"] == "hog":
+        # KCF paper: Gaussian-kernel bandwidth 0.5 for HOG, 0.2 for gray
+        cfg.setdefault("kernel_sigma", 0.5)
     fields = {f for f in CFParams.__dataclass_fields__}
     prm = CFParams(**{k: v for k, v in cfg.items() if k in fields})
-    return CF_REGISTRY[key.lower()](prm)
+    return CF_REGISTRY[key](prm)

@@ -108,3 +108,51 @@ def test_cf_set_region_and_reinit():
     st3 = trk.reinitialize(img, moved)
     c3 = np.asarray(trk.corners(st3)).T
     assert np.allclose(c3, moved, atol=1e-4)
+
+
+def test_hog_features_shape_and_invariance():
+    from mtf_tpu.ops.hog import hog, N_HOG_CHANNELS
+    rng = np.random.RandomState(4)
+    p = jnp.asarray(rng.uniform(0, 255, (64, 64)).astype(np.float32))
+    f = hog(p, n_orient=9, cell=4)
+    assert f.shape == (16, 16, N_HOG_CHANNELS)
+    assert np.all(np.isfinite(np.asarray(f)))
+    # block normalization makes features gain-invariant
+    f2 = hog(2.5 * p, n_orient=9, cell=4)
+    assert np.allclose(np.asarray(f), np.asarray(f2), atol=1e-3)
+    # and bias-invariant (gradients kill constants)
+    f3 = hog(p + 40.0, n_orient=9, cell=4)
+    assert np.allclose(np.asarray(f), np.asarray(f3), atol=1e-3)
+
+
+@pytest.mark.parametrize("key", ["mosse", "kcf", "dsst"])
+def test_cf_psr_failure_signal(key):
+    """PSR is high while locked on, collapses when the target vanishes."""
+    rng = np.random.RandomState(5)
+    img = _base_image(rng)
+    trk = mtf_tpu.create_tracker(sm=key)
+    st = trk.initialize(img, CORNERS0)
+    upd = jax.jit(trk.update)
+    st = upd(st, _shifted(img, -1.0, 0.5))
+    psr_locked = float(st.psr)
+    blank = jnp.asarray(rng.uniform(0, 255, img.shape).astype(np.float32))
+    st = upd(st, blank)
+    psr_lost = float(st.psr)
+    assert psr_locked > psr_lost, (key, psr_locked, psr_lost)
+    assert psr_locked > 6.0, (key, psr_locked)
+
+
+def test_cf_psr_gate_freezes_filter():
+    """With psr_thresh set, a garbage frame must not corrupt the model."""
+    rng = np.random.RandomState(6)
+    img = _base_image(rng)
+    trk = mtf_tpu.create_tracker(sm="mosse", psr_thresh=6.0)
+    st = trk.initialize(img, CORNERS0)
+    upd = jax.jit(trk.update)
+    st = upd(st, _shifted(img, -1.0, 0.0))
+    num_before = np.asarray(st.num)
+    blank = jnp.asarray(rng.uniform(0, 255, img.shape).astype(np.float32))
+    st2 = upd(st, blank)
+    assert float(st2.psr) < 6.0
+    assert np.allclose(np.asarray(st2.num), num_before), \
+        "filter learned from a low-PSR frame"
