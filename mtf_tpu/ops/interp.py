@@ -244,9 +244,23 @@ def _axis_weights(coord: Array, size: int, kind: str):
     return w, -dphi
 
 
+def sample_dense_parts(img: Array, pts: Array, kind: str = LINEAR,
+                       crop: int | None = None, cval: float = 0.0,
+                       compute_dtype=None):
+    """`sample_dense` without the (N, C, 2) gradient stack: returns
+    (val, dx, dy), each (N, C). The trailing size-2 axis of the stacked
+    form forces degenerate T(2,128) tile layouts on everything downstream
+    of the LK Jacobian chain (measured ~0.3 ms/iter of copies + badly
+    tiled fusions at fleet scale) — hot paths consume the parts and build
+    J = dx*Jx + dy*Jy directly."""
+    val, grad = sample_dense(img, pts, kind, crop, cval, compute_dtype,
+                             need_grad=True, _stack=False)
+    return val, grad[0], grad[1]
+
+
 def sample_dense(img: Array, pts: Array, kind: str = LINEAR,
                  crop: int | None = None, cval: float = 0.0,
-                 compute_dtype=None, need_grad: bool = True):
+                 compute_dtype=None, need_grad: bool = True, _stack=True):
     """Matmul-form sampling -> (patch (N, C), grad (N, C, 2) | None).
 
     `crop`: static window size; the window is dynamic-sliced around the
@@ -290,6 +304,8 @@ def sample_dense(img: Array, pts: Array, kind: str = LINEAR,
                     preferred_element_type=jnp.float32)
     dy = jnp.einsum("nh,nhc->nc", dWy, tmp,
                     preferred_element_type=jnp.float32)
+    if not _stack:
+        return val, (dx, dy)
     return val, jnp.stack([dx, dy], axis=-1)
 
 

@@ -1,0 +1,171 @@
+"""Fused LK-iteration core: dense sampling + SSD gradient in one kernel.
+
+The FCLK/SSD hot loop spends its whole iteration on tensors XLA keeps in
+HBM with degenerate layouts (r2 trace: 0.85 ms of duplicated tap-weight
+construction in the sampling fusions + ~0.6 ms of Jacobian-chain fusions,
+copies and T(2,128)-tiled slices per iteration at B=256 fleet scale).
+This kernel computes, per tracker and per point tile, entirely in VMEM:
+
+    tap weights (built ONCE, shared by value and both derivatives)
+      -> two bf16 MXU contractions against the cropped window
+      -> val / dx / dy row reductions
+      -> SSD residual r = templ - val
+      -> g = J^T r with J = dx*Jx + dy*Jy     (the LK gradient step)
+
+HBM traffic per iteration: the cropped window (reused across tiles), the
+(2, N) points, the (2S, N) warp Jacobian, the (N,) template, and the
+(N,) value + (S,) partial-gradient outputs.
+
+Layout rule that makes this fast where two earlier kernels were not:
+EVERYTHING is lanes-major. Points/template/Jacobian rows live on the
+128-lane axis ((1, TN)-shaped blocks, never (TN, 1)); tap weights are
+built TRANSPOSED (Wc, TN) with the iota on the sublane axis, so the
+MXU dots are sub (Hc, Wc) @ wxT (Wc, TN) and no operand, intermediate or
+output is ever relayouted. The previous interface's trailing-1 blocks
+((B, N, 1)) cost ~7 ms/iter in 1/128-efficiency pads/slices/copies.
+
+Used by sm/lk.py for the forward-compositional + self0-Hessian + SSD +
+grayscale fast path (the BASELINE headline config); everything else
+falls back to the XLA dense path.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mtf_tpu.ops.pallas.dense_sample import _weights_dense
+
+Array = jax.Array
+
+_TN = 1280  # points per tile
+
+
+def _kernel(kind, hc, wc, n_s, x_ref, y_ref, sub_ref, jac_ref, templ_ref,
+            val_ref, g_ref):
+    lo = 0.001 if kind == "linear" else 1.001
+    hix = (wc - 1.001) if kind == "linear" else (wc - 2.001)
+    hiy = (hc - 1.001) if kind == "linear" else (hc - 2.001)
+    x = jnp.clip(x_ref[0, 0, :], lo, hix)                  # (TN,) lanes
+    y = jnp.clip(y_ref[0, 0, :], lo, hiy)
+
+    # transposed tap weights: iota on the SUBLANE axis, points on lanes
+    kx = jax.lax.broadcasted_iota(jnp.int32, (wc, _TN), 0).astype(jnp.float32)
+    wxt, dpxt = _weights_dense(kx - x[None, :], kind)       # (Wc, TN)
+    ky = jax.lax.broadcasted_iota(jnp.int32, (hc, _TN), 0).astype(jnp.float32)
+    wyt, dpyt = _weights_dense(ky - y[None, :], kind)       # (Hc, TN)
+
+    sub = sub_ref[0, :, :]                                  # (Hc, Wc) bf16
+    tmp = jnp.dot(sub, wxt.astype(jnp.bfloat16),
+                  preferred_element_type=jnp.float32)       # (Hc, TN)
+    tmp_dx = jnp.dot(sub, dpxt.astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)
+
+    val = jnp.sum(wyt * tmp, axis=0)                        # (TN,) lanes
+    dx = -jnp.sum(wyt * tmp_dx, axis=0)
+    dy = -jnp.sum(dpyt * tmp, axis=0)
+    val_ref[0, :] = val
+
+    r = templ_ref[0, :] - val                               # SSD residual
+    jac = jac_ref[0, :, :]                                  # (2S, TN)
+    u = (dx * r)[None, :]
+    v = (dy * r)[None, :]
+    g = jnp.sum(jac[:n_s, :] * u + jac[n_s:, :] * v,
+                axis=1, keepdims=True)                      # (S, 1)
+    g_ref[0, :, :] = g[None, :, 0]
+
+
+def _pallas_batched(subs, xy, jac, templ, kind, interpret=False):
+    """subs (B, Hc, Wc) bf16, xy (B, 2, NP), jac (B, 2S, NP),
+    templ (B, NP) -> (val (B, NP), g (B, T, S))."""
+    b, hc, wc = subs.shape
+    n_pad = xy.shape[2]
+    n_s = jac.shape[1] // 2
+    t = n_pad // _TN
+    vec = pl.BlockSpec((1, 1, _TN), lambda i, j: (i, 0, j),
+                       memory_space=pltpu.VMEM)
+    row = pl.BlockSpec((1, _TN), lambda i, j: (i, j),
+                       memory_space=pltpu.VMEM)
+    jblk = pl.BlockSpec((1, 2 * n_s, _TN), lambda i, j: (i, 0, j),
+                        memory_space=pltpu.VMEM)
+    sub_blk = pl.BlockSpec((1, hc, wc), lambda i, j: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    gblk = pl.BlockSpec((1, 1, n_s), lambda i, j: (i, j, 0),
+                        memory_space=pltpu.VMEM)
+    x_spec = pl.BlockSpec((1, 1, _TN), lambda i, j: (i, 0, j),
+                          memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_kernel, kind, hc, wc, n_s),
+        grid=(b, t),
+        in_specs=[x_spec, vec, sub_blk, jblk, row],
+        out_specs=(row, gblk),
+        out_shape=(jax.ShapeDtypeStruct((b, n_pad), jnp.float32),
+                   jax.ShapeDtypeStruct((b, t, n_s), jnp.float32)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * b * n_pad * hc * wc, transcendentals=0,
+            bytes_accessed=b * (hc * wc * 2 + n_pad * 4 * (2 * n_s + 4))),
+        interpret=interpret,
+    )(xy[:, :1], xy[:, 1:], subs, jac, templ)
+
+
+@functools.lru_cache(maxsize=None)
+def _core_for(kind: str, interpret: bool = False):
+    @jax.custom_batching.custom_vmap
+    def core(sub, xy, jac, templ):
+        val, g = _pallas_batched(sub[None], xy[None], jac[None],
+                                 templ[None], kind, interpret)
+        return val[0], g[0]
+
+    @core.def_vmap
+    def _core_vmap(axis_size, in_batched, sub, xy, jac, templ):  # noqa: F811
+        bcast = lambda z, b: z if b else jnp.broadcast_to(  # noqa: E731
+            z[None], (axis_size,) + z.shape)
+        out = _pallas_batched(bcast(sub, in_batched[0]),
+                              bcast(xy, in_batched[1]),
+                              bcast(jac, in_batched[2]),
+                              bcast(templ, in_batched[3]), kind,
+                              interpret)
+        return out, (True, True)
+
+    return core
+
+
+def lk_fused_gn(img: Array, pts: Array, Jpts: Array, templ: Array,
+                kind: str = "linear", crop: int | None = None,
+                interpret: bool = False):
+    """Fused sampling + SSD LK gradient for one tracker (vmap-friendly).
+
+    img (H, W) grayscale (pre-cropped windows welcome); pts (N, 2);
+    Jpts (N, 2, S) warp Jacobian at the identity update; templ (N,).
+    Returns (patch_vals (N,), g (S,)) with
+    g = J^T (templ - patch),  J = dx * Jx + dy * Jy.
+    """
+    h, w = img.shape
+    x, y = pts[:, 0], pts[:, 1]
+    if crop is not None and (crop < h or crop < w):
+        hc, wc = min(crop, h), min(crop, w)
+        x0 = jnp.clip(jnp.floor(jnp.min(x)) - 2.0, 0.0, float(w - wc))
+        y0 = jnp.clip(jnp.floor(jnp.min(y)) - 2.0, 0.0, float(h - hc))
+        sub = jax.lax.dynamic_slice(
+            img, (y0.astype(jnp.int32), x0.astype(jnp.int32)), (hc, wc))
+        x = x - x0
+        y = y - y0
+    else:
+        sub = img
+    n, _, n_s = Jpts.shape
+    n_pad = ((n + _TN - 1) // _TN) * _TN
+    xy = jnp.zeros((2, n_pad), jnp.float32)
+    xy = xy.at[0, :n].set(x).at[1, :n].set(y)
+    # padded Jacobian columns are zero -> padded points contribute
+    # nothing to g, whatever their (clamped) sample value
+    jac = jnp.zeros((2 * n_s, n_pad), jnp.float32)
+    jac = jac.at[:n_s, :n].set(Jpts[:, 0, :].T)
+    jac = jac.at[n_s:, :n].set(Jpts[:, 1, :].T)
+    tp = jnp.zeros((n_pad,), jnp.float32).at[:n].set(templ)
+
+    val, g = _core_for(kind, interpret)(
+        sub.astype(jnp.bfloat16), xy, jac, tp)
+    return val[:n], jnp.sum(g, axis=0)

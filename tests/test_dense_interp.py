@@ -51,9 +51,19 @@ def test_pallas_kernel_matches(img_pts, kind):
     from mtf_tpu.ops.pallas import sample_dense_pallas
     img, pts = img_pts
     v1, g1 = interp.sample_with_grad(img, pts, kind)
-    v2, g2 = sample_dense_pallas(img, pts, kind, crop=128, interpret=True)
+    # f32 dots: exact parity with the gather path
+    v2, g2 = sample_dense_pallas(img, pts, kind, crop=128, interpret=True,
+                                 dot_dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-3)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-3)
+    # bf16 dots (the TPU default): bounded by weight/image quantization
+    # (~2^-8 relative; ~1 intensity level on 0-255 imagery)
+    scale = float(np.abs(np.asarray(img)).max())
+    v3, g3 = sample_dense_pallas(img, pts, kind, crop=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v3),
+                               atol=2e-2 * scale)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g3),
+                               atol=3e-2 * scale)
 
 
 def test_lk_tracks_through_pallas_path(test_image):
