@@ -41,11 +41,22 @@ from mtf_tpu.ops.pallas.dense_sample import _weights_dense
 
 Array = jax.Array
 
-_TN = 1280  # points per tile
+_TN = 1280        # points per tile when tiling is needed
+_FULL_MAX = 4096  # single full-array tile up to this many points
 
 
-def _kernel(kind, hc, wc, n_s, x_ref, y_ref, sub_ref, jac_ref, templ_ref,
-            val_ref, g_ref):
+def _tile_of(n: int) -> int:
+    """Tile size for n points. Mosaic allows a block equal to the full
+    array dimension regardless of 128-alignment, so any n <= _FULL_MAX
+    runs as ONE tile with NO padding — the (B, 2S, NP) zero-pad
+    dynamic-update-slices otherwise cost ~0.46 ms/iter at fleet scale."""
+    if n <= _FULL_MAX:
+        return n
+    return _TN
+
+
+def _kernel(kind, hc, wc, n_s, tn, x_ref, y_ref, sub_ref, jac_ref,
+            templ_ref, val_ref, g_ref, h_ref):
     lo = 0.001 if kind == "linear" else 1.001
     hix = (wc - 1.001) if kind == "linear" else (wc - 2.001)
     hiy = (hc - 1.001) if kind == "linear" else (hc - 2.001)
@@ -53,9 +64,9 @@ def _kernel(kind, hc, wc, n_s, x_ref, y_ref, sub_ref, jac_ref, templ_ref,
     y = jnp.clip(y_ref[0, 0, :], lo, hiy)
 
     # transposed tap weights: iota on the SUBLANE axis, points on lanes
-    kx = jax.lax.broadcasted_iota(jnp.int32, (wc, _TN), 0).astype(jnp.float32)
+    kx = jax.lax.broadcasted_iota(jnp.int32, (wc, tn), 0).astype(jnp.float32)
     wxt, dpxt = _weights_dense(kx - x[None, :], kind)       # (Wc, TN)
-    ky = jax.lax.broadcasted_iota(jnp.int32, (hc, _TN), 0).astype(jnp.float32)
+    ky = jax.lax.broadcasted_iota(jnp.int32, (hc, tn), 0).astype(jnp.float32)
     wyt, dpyt = _weights_dense(ky - y[None, :], kind)       # (Hc, TN)
 
     sub = sub_ref[0, :, :]                                  # (Hc, Wc) bf16
@@ -67,15 +78,18 @@ def _kernel(kind, hc, wc, n_s, x_ref, y_ref, sub_ref, jac_ref, templ_ref,
     val = jnp.sum(wyt * tmp, axis=0)                        # (TN,) lanes
     dx = -jnp.sum(wyt * tmp_dx, axis=0)
     dy = -jnp.sum(dpyt * tmp, axis=0)
-    val_ref[0, :] = val
+    val_ref[0, 0, :] = val
 
-    r = templ_ref[0, :] - val                               # SSD residual
+    r = templ_ref[0, 0, :] - val                            # SSD residual
     jac = jac_ref[0, :, :]                                  # (2S, TN)
-    u = (dx * r)[None, :]
-    v = (dy * r)[None, :]
-    g = jnp.sum(jac[:n_s, :] * u + jac[n_s:, :] * v,
-                axis=1, keepdims=True)                      # (S, 1)
-    g_ref[0, :, :] = g[None, :, 0]
+    Jm = jac[:n_s, :] * dx[None, :] + jac[n_s:, :] * dy[None, :]  # (S, TN)
+    g = jnp.sum(Jm * r[None, :], axis=1, keepdims=True)     # (S, 1)
+    g_ref[0, 0, 0, :] = g[:, 0]
+    # per-tile normal matrix J^T J (SSD GN Hessian = -(sum over tiles));
+    # (S, TN) x (S, TN) contracting the lane axis — tiny MXU dot
+    h_ref[0, 0, :, :] = jax.lax.dot_general(
+        Jm, Jm, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
 
 
 def _pallas_batched(subs, xy, jac, templ, kind, interpret=False):
@@ -84,40 +98,41 @@ def _pallas_batched(subs, xy, jac, templ, kind, interpret=False):
     b, hc, wc = subs.shape
     n_pad = xy.shape[2]
     n_s = jac.shape[1] // 2
-    t = n_pad // _TN
-    vec = pl.BlockSpec((1, 1, _TN), lambda i, j: (i, 0, j),
+    tn = _tile_of(n_pad)
+    t = n_pad // tn
+    vec = pl.BlockSpec((1, 1, tn), lambda i, j: (i, 0, j),
                        memory_space=pltpu.VMEM)
-    row = pl.BlockSpec((1, _TN), lambda i, j: (i, j),
-                       memory_space=pltpu.VMEM)
-    jblk = pl.BlockSpec((1, 2 * n_s, _TN), lambda i, j: (i, 0, j),
+    jblk = pl.BlockSpec((1, 2 * n_s, tn), lambda i, j: (i, 0, j),
                         memory_space=pltpu.VMEM)
     sub_blk = pl.BlockSpec((1, hc, wc), lambda i, j: (i, 0, 0),
                            memory_space=pltpu.VMEM)
-    gblk = pl.BlockSpec((1, 1, n_s), lambda i, j: (i, j, 0),
+    gblk = pl.BlockSpec((1, 1, 1, n_s), lambda i, j: (i, j, 0, 0),
                         memory_space=pltpu.VMEM)
-    x_spec = pl.BlockSpec((1, 1, _TN), lambda i, j: (i, 0, j),
-                          memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        functools.partial(_kernel, kind, hc, wc, n_s),
+    hblk = pl.BlockSpec((1, 1, n_s, n_s), lambda i, j: (i, j, 0, 0),
+                        memory_space=pltpu.VMEM)
+    val, g, h = pl.pallas_call(
+        functools.partial(_kernel, kind, hc, wc, n_s, tn),
         grid=(b, t),
-        in_specs=[x_spec, vec, sub_blk, jblk, row],
-        out_specs=(row, gblk),
-        out_shape=(jax.ShapeDtypeStruct((b, n_pad), jnp.float32),
-                   jax.ShapeDtypeStruct((b, t, n_s), jnp.float32)),
+        in_specs=[vec, vec, sub_blk, jblk, vec],
+        out_specs=(vec, gblk, hblk),
+        out_shape=(jax.ShapeDtypeStruct((b, 1, n_pad), jnp.float32),
+                   jax.ShapeDtypeStruct((b, t, 1, n_s), jnp.float32),
+                   jax.ShapeDtypeStruct((b, t, n_s, n_s), jnp.float32)),
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * b * n_pad * hc * wc, transcendentals=0,
             bytes_accessed=b * (hc * wc * 2 + n_pad * 4 * (2 * n_s + 4))),
         interpret=interpret,
-    )(xy[:, :1], xy[:, 1:], subs, jac, templ)
+    )(xy[:, :1], xy[:, 1:], subs, jac, templ[:, None])
+    return val[:, 0], g[:, :, 0], h
 
 
 @functools.lru_cache(maxsize=None)
 def _core_for(kind: str, interpret: bool = False):
     @jax.custom_batching.custom_vmap
     def core(sub, xy, jac, templ):
-        val, g = _pallas_batched(sub[None], xy[None], jac[None],
-                                 templ[None], kind, interpret)
-        return val[0], g[0]
+        val, g, h = _pallas_batched(sub[None], xy[None], jac[None],
+                                    templ[None], kind, interpret)
+        return val[0], g[0], h[0]
 
     @core.def_vmap
     def _core_vmap(axis_size, in_batched, sub, xy, jac, templ):  # noqa: F811
@@ -128,9 +143,42 @@ def _core_for(kind: str, interpret: bool = False):
                               bcast(jac, in_batched[2]),
                               bcast(templ, in_batched[3]), kind,
                               interpret)
-        return out, (True, True)
+        return out, (True, True, True)
 
     return core
+
+
+def lk_fused_gn_t(img: Array, ptsT: Array, jacT: Array, templ: Array,
+                  kind: str = "linear", crop: int | None = None,
+                  interpret: bool = False):
+    """Transposed-input fast path: ptsT (2, N), jacT (2S, N) already
+    lanes-major (rows [Jx_0..Jx_{S-1}; Jy_0..Jy_{S-1}]) — the caller
+    keeps the whole warp/Jacobian chain in (3, N)/(S, N) orientation so
+    NOTHING is relayouted between XLA and the kernel (the (N, 2, S) ->
+    (2S, N) transpose otherwise costs ~0.5 ms/iter at fleet scale).
+    Returns (val (N,), g (S,), JtJ (S, S))."""
+    h, w = img.shape
+    x, y = ptsT[0], ptsT[1]
+    n = x.shape[0]
+    n_s = jacT.shape[0] // 2
+    if crop is not None and (crop < h or crop < w):
+        hc, wc = min(crop, h), min(crop, w)
+        x0 = jnp.clip(jnp.floor(jnp.min(x)) - 2.0, 0.0, float(w - wc))
+        y0 = jnp.clip(jnp.floor(jnp.min(y)) - 2.0, 0.0, float(h - hc))
+        sub = jax.lax.dynamic_slice(
+            img, (y0.astype(jnp.int32), x0.astype(jnp.int32)), (hc, wc))
+        ptsT = ptsT - jnp.stack([x0, y0])[:, None]
+    else:
+        sub = img
+    tile = _tile_of(n)
+    if n % tile != 0:
+        pad = ((n + tile - 1) // tile) * tile - n
+        ptsT = jnp.pad(ptsT, ((0, 0), (0, pad)))
+        jacT = jnp.pad(jacT, ((0, 0), (0, pad)))
+        templ = jnp.pad(templ, ((0, pad),))
+    val, g, h_ = _core_for(kind, interpret)(
+        sub.astype(jnp.bfloat16), ptsT, jacT, templ)
+    return val[:n], jnp.sum(g, axis=0), jnp.sum(h_, axis=0)
 
 
 def lk_fused_gn(img: Array, pts: Array, Jpts: Array, templ: Array,
@@ -140,8 +188,9 @@ def lk_fused_gn(img: Array, pts: Array, Jpts: Array, templ: Array,
 
     img (H, W) grayscale (pre-cropped windows welcome); pts (N, 2);
     Jpts (N, 2, S) warp Jacobian at the identity update; templ (N,).
-    Returns (patch_vals (N,), g (S,)) with
-    g = J^T (templ - patch),  J = dx * Jx + dy * Jy.
+    Returns (patch_vals (N,), g (S,), JtJ (S, S)) with
+    g = J^T (templ - patch),  J = dx * Jx + dy * Jy, JtJ = J^T J (the
+    SSD GN normal matrix; the LK Hessian is -JtJ).
     """
     h, w = img.shape
     x, y = pts[:, 0], pts[:, 1]
@@ -156,16 +205,25 @@ def lk_fused_gn(img: Array, pts: Array, Jpts: Array, templ: Array,
     else:
         sub = img
     n, _, n_s = Jpts.shape
-    n_pad = ((n + _TN - 1) // _TN) * _TN
-    xy = jnp.zeros((2, n_pad), jnp.float32)
-    xy = xy.at[0, :n].set(x).at[1, :n].set(y)
-    # padded Jacobian columns are zero -> padded points contribute
-    # nothing to g, whatever their (clamped) sample value
-    jac = jnp.zeros((2 * n_s, n_pad), jnp.float32)
-    jac = jac.at[:n_s, :n].set(Jpts[:, 0, :].T)
-    jac = jac.at[n_s:, :n].set(Jpts[:, 1, :].T)
-    tp = jnp.zeros((n_pad,), jnp.float32).at[:n].set(templ)
+    tile = _tile_of(n)
+    if n % tile == 0:
+        # exact tiling (the n <= _FULL_MAX single-tile fast path):
+        # plain transposes, no zero-padding scatter
+        xy = jnp.stack([x, y])                             # (2, N)
+        jac = jnp.transpose(Jpts, (1, 2, 0)).reshape(2 * n_s, n)
+        tp = templ
+        n_pad = n
+    else:
+        n_pad = ((n + tile - 1) // tile) * tile
+        xy = jnp.zeros((2, n_pad), jnp.float32)
+        xy = xy.at[0, :n].set(x).at[1, :n].set(y)
+        # padded Jacobian columns are zero -> padded points contribute
+        # nothing to g, whatever their (clamped) sample value
+        jac = jnp.zeros((2 * n_s, n_pad), jnp.float32)
+        jac = jac.at[:n_s, :n].set(Jpts[:, 0, :].T)
+        jac = jac.at[n_s:, :n].set(Jpts[:, 1, :].T)
+        tp = jnp.zeros((n_pad,), jnp.float32).at[:n].set(templ)
 
-    val, g = _core_for(kind, interpret)(
+    val, g, h = _core_for(kind, interpret)(
         sub.astype(jnp.bfloat16), xy, jac, tp)
-    return val[:n], jnp.sum(g, axis=0)
+    return val[:n], jnp.sum(g, axis=0), jnp.sum(h, axis=0)

@@ -200,38 +200,61 @@ class LKBase(SearchMethod):
         lk_fused_gn kernel (ops/pallas/lk_fused.py): forward
         compositional, SSD gradient (g = templ - patch), cached self0
         Hessian, no ILM/SPI/ESM-jac, single-channel dense sampling."""
+        from mtf_tpu.ssm.base import SSM as _SSMBase
         prm, am = self.prm, self.am
         return (prm.use_pallas and prm.interp.endswith("_mm")
                 and not self.inverse and not self.use_esm_jac
                 and self.compositional and am.name == "ssd"
-                and am.ilm.n_params == 0 and prm.hess_type == "self0"
+                and am.ilm.n_params == 0
+                and prm.hess_type in ("self0", "selft", "std")
                 and not prm.spi_type and state.spi_mask is None
-                and frame.ndim == 2 and prm.crop_blocks is None)
+                and frame.ndim == 2 and prm.crop_blocks is None
+                # the fused path re-derives the warp chain as 3x3 matrix
+                # algebra; only valid for SSMs with the default matrix
+                # warp_pts_from (TPS/Spline override it)
+                and type(self.ssm).warp_pts_from is _SSMBase.warp_pts_from)
 
     def _iteration_fused(self, state: TrackerState, frame: Array,
                          carry: _LKCarry, offset=None):
-        from mtf_tpu.ops.pallas.lk_fused import lk_fused_gn
+        from mtf_tpu.ops.pallas.lk_fused import lk_fused_gn_t
         ssm, prm = self.ssm, self.prm
         S = ssm.dof
+        region = state.region
+        n = region.base_pts.shape[0]
+        # transposed warp chain: every array is (3, N)/(2, N) lanes-major
+        # so the kernel inputs need no relayout (lk_fused.py docstring)
+        ph = jnp.concatenate([region.base_pts.T,
+                              jnp.ones((1, n), jnp.float32)])   # (3, N)
+        M0 = region.norm_mat @ ssm.to_matrix(carry.ssm_state)
 
-        def pts_fn(dp):
-            pts_t = ssm.warp_pts_from(carry.ssm_state, dp,
-                                      state.region.base_pts,
-                                      self.compositional)
-            return W.apply_warp(state.region.norm_mat, pts_t)
+        def ptsT_of(dp):
+            M = M0 @ ssm.to_matrix(dp)
+            q = M @ ph
+            return q[:2] / q[2:3]                               # (2, N)
 
         zero = jnp.zeros((S,), jnp.float32)
-        pts = pts_fn(zero)
-        Jpts = jax.jacfwd(pts_fn)(zero)                  # (N, 2, S)
+        ptsT, cols = jax.jvp(ptsT_of, (zero,),
+                             (jnp.eye(S, dtype=jnp.float32)[0],))
+        rows_x, rows_y = [cols[0]], [cols[1]]
+        for s in range(1, S):
+            _, c = jax.jvp(ptsT_of, (zero,),
+                           (jnp.eye(S, dtype=jnp.float32)[s],))
+            rows_x.append(c[0])
+            rows_y.append(c[1])
+        jacT = jnp.concatenate([jnp.stack(rows_x),
+                                jnp.stack(rows_y)])             # (2S, N)
         crop_arg = prm.crop
         if offset is not None:
-            pts = pts - offset
+            ptsT = ptsT - offset[:, None]
             crop_arg = None
         templ = state.am_state.template.reshape(-1)
-        val, j = lk_fused_gn(frame, pts, Jpts, templ, prm.interp[:-3],
-                             crop=crop_arg,
-                             interpret=jax.default_backend() != "tpu")
-        H = state.extra.H0
+        val, j, jtj = lk_fused_gn_t(frame, ptsT, jacT, templ,
+                                    prm.interp[:-3], crop=crop_arg,
+                                    interpret=jax.default_backend()
+                                    != "tpu")
+        # SSD: selft == std == -J^T J at the current J (d2f/dI2 = -I);
+        # self0 is the cached template-J Hessian
+        H = state.extra.H0 if prm.hess_type == "self0" else -jtj
         damp = carry.lm_delta if prm.enable_lm else 0.0
         Hd = H - damp * jnp.diag(jnp.abs(jnp.diag(H))) \
                - 1e-7 * jnp.eye(S, dtype=H.dtype)
