@@ -40,7 +40,7 @@ def _locate(detector_prm, marker_img, frame, ssm):
         return None
     f0, f1 = _descr_float(d0), _descr_float(d1)
     idx1, ok = _match(jnp.asarray(f0), jnp.asarray(f1),
-                      detector_prm.ratio_thresh)
+                      ratio=detector_prm.ratio_thresh)
     ok = np.asarray(ok)
     if ok.sum() < detector_prm.min_matches:
         return None

@@ -3,8 +3,11 @@ from mtf_tpu.ssm.base import SSM  # noqa: F401
 from mtf_tpu.ssm.projective import SSM_REGISTRY  # noqa: F401
 
 
-def get_ssm(key: str) -> SSM:
-    """Construct an SSM from its reference factory key (mtf.h:1066-1100)."""
+def get_ssm(key: str, **kwargs) -> SSM:
+    """Construct an SSM from its reference factory key (mtf.h:1066-1100).
+
+    kwargs pass through to the SSM constructor (spline control grid /
+    overlap / interp_type, TPS anchors — SplineParams analogs)."""
     k = key.lower()
     reg = dict(SSM_REGISTRY)
     try:
@@ -14,4 +17,4 @@ def get_ssm(key: str) -> SSM:
         pass
     if k not in reg:
         raise InvalidArgument(f"unknown SSM {key!r}; known: {sorted(reg)}")
-    return reg[k]()
+    return reg[k](**kwargs)

@@ -102,37 +102,76 @@ class NonRigidSSM(SSM):
         return jnp.full((self.dof,), jnp.asarray(pix_sigma, jnp.float32))
 
 
+def _spline_kernel(d: Array, interp_type: str) -> Array:
+    """Truncated 1-D influence kernel on normalized distance d
+    (support |d| <= 1), reference `Spline::getWeight` (Spline.cc:223-238).
+
+    `bilinear` is the reference's implemented kernel; `biquadratic` /
+    `bicubic` exist in its InterpolationType enum but THROW
+    FunctonNotImplemented (Spline.cc:230-233) — here they are actual
+    quadratic/cubic B-spline kernels rescaled to the same support."""
+    a = jnp.abs(d)
+    if interp_type == "bilinear":
+        return jnp.maximum(0.0, 1.0 - a)
+    if interp_type == "biquadratic":
+        t = a * 1.5
+        return jnp.where(t < 0.5, 0.75 - t * t,
+                         jnp.where(t < 1.5, 0.5 * (1.5 - t) ** 2, 0.0))
+    if interp_type == "bicubic":
+        t = a * 2.0
+        return jnp.where(
+            t < 1.0, 2.0 / 3.0 - t * t + 0.5 * t ** 3,
+            jnp.where(t < 2.0, (2.0 - t) ** 3 / 6.0, 0.0))
+    raise ValueError(f"unknown spline interp_type {interp_type!r}")
+
+
 class Spline(NonRigidSSM):
-    """Control-point grid with bilinear displacement interpolation
-    (Spline.cc; `control_size_x/y` / interpolation types collapse to the
-    grid resolution + smooth bilinear blend here)."""
+    """Control-point grid with per-point influence regions
+    (`Spline.cc:80-240`): each control point owns a patch of the
+    template; its influence kernel spans the patch half-size plus an
+    overlap margin (reference `control_size_x/y` + `control_overlap`,
+    defaults 10 px + 1 px), distances are normalized by that span,
+    weighted by the interpolation kernel, and the per-point weights are
+    normalized to a partition of unity (initInterpolationWeights's
+    row-wise division).
+
+    Here the grid lives in the normalized template frame: `overlap` is a
+    fraction of the control spacing (the reference default 1 px on a
+    10 px patch = 0.1). Weights are recomputed from the query points each
+    call — for the LK SMs, which always evaluate at the fixed template
+    grid, this equals the reference's `static_wts=true` precomputation.
+    """
 
     name = "spline"
 
-    def __init__(self, kx: int = 5, ky: int = 5, span: float = 1.1):
+    def __init__(self, kx: int = 5, ky: int = 5, span: float = 1.1,
+                 overlap: float = 0.1, interp_type: str = "bilinear"):
         super().__init__()
+        _spline_kernel(jnp.zeros(()), interp_type)  # validate early
         self.kx, self.ky, self.span = kx, ky, span
+        self.overlap = overlap
+        self.interp_type = interp_type
         self.dof = 2 * kx * ky
         self.ctrl = jnp.asarray(_control_grid(kx, ky, span))
+        # influence normalizer: half control spacing + overlap margin
+        # (dist_norm_x/y of Spline.cc:86-88 in normalized units)
+        sx = 2.0 * span / max(kx - 1, 1)
+        sy = 2.0 * span / max(ky - 1, 1)
+        self._dist_norm = (0.5 * sx + overlap * sx,
+                           0.5 * sy + overlap * sy)
+
+    def weights(self, pts: Array) -> Array:
+        """(N, K) normalized control-point influence weights."""
+        dnx, dny = self._dist_norm
+        dx = (pts[:, 0:1] - self.ctrl[None, :, 0]) / dnx      # (N, K)
+        dy = (pts[:, 1:2] - self.ctrl[None, :, 1]) / dny
+        w = _spline_kernel(dx, self.interp_type) * \
+            _spline_kernel(dy, self.interp_type)
+        return w / (jnp.sum(w, axis=1, keepdims=True) + 1e-12)
 
     def displacement(self, state: Array, pts: Array) -> Array:
-        kx, ky, span = self.kx, self.ky, self.span
-        D = state.reshape(ky, kx, 2)
-        # continuous grid coords
-        gx = (pts[:, 0] + span) / (2 * span) * (kx - 1)
-        gy = (pts[:, 1] + span) / (2 * span) * (ky - 1)
-        gx = jnp.clip(gx, 0.0, kx - 1 - 1e-6)
-        gy = jnp.clip(gy, 0.0, ky - 1 - 1e-6)
-        x0 = jnp.floor(gx).astype(jnp.int32)
-        y0 = jnp.floor(gy).astype(jnp.int32)
-        fx = (gx - x0)[:, None]
-        fy = (gy - y0)[:, None]
-        d00 = D[y0, x0]
-        d01 = D[y0, x0 + 1]
-        d10 = D[y0 + 1, x0]
-        d11 = D[y0 + 1, x0 + 1]
-        return ((1 - fy) * ((1 - fx) * d00 + fx * d01)
-                + fy * ((1 - fx) * d10 + fx * d11))
+        D = state.reshape(self.kx * self.ky, 2)
+        return self.weights(pts) @ D                          # MXU matmul
 
 
 class TPS(NonRigidSSM):

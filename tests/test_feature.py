@@ -1,5 +1,6 @@
 """FeatureTracker tests (reference SM/src/FeatureTracker.cc)."""
 import jax.numpy as jnp
+import jax
 import numpy as np
 import pytest
 
@@ -59,3 +60,51 @@ def test_holds_state_on_featureless_frame(blob_image):
     st2 = trk.update(st, blank)
     np.testing.assert_allclose(np.asarray(trk.corners(st2)),
                                np.asarray(trk.corners(st)))
+
+
+def test_feature_state_is_pytree_and_fleet_composable():
+    """r1 VERDICT weak#8: FeatureState is a fixed-shape pytree; the
+    device stage vmaps over stacked states against shared detections."""
+    pytest.importorskip("cv2")
+    import mtf_tpu
+    rng = np.random.RandomState(11)
+    img = (rng.uniform(0, 255, (160, 160)) > 127).astype(np.float32) * 255
+    import scipy.ndimage as ndi
+    img = jnp.asarray(ndi.gaussian_filter(img, 1.0)[..., None])
+    corners = np.array([[30.0, 30.0], [130.0, 30.0],
+                        [130.0, 130.0], [30.0, 130.0]], np.float32)
+    trk = mtf_tpu.create_tracker(sm="feat", ssm="4")
+    st = trk.initialize(img, corners)
+    leaves = jax.tree_util.tree_leaves(st)
+    assert leaves and all(hasattr(x, "shape") for x in leaves), \
+        "state must be an array-only pytree"
+    # jitted + vmapped device stage over a 3-tracker fleet
+    pts, desc, valid = trk.detect_fixed(img, corners)
+    batch = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (3,) + jnp.shape(x)), st)
+    out = jax.jit(jax.vmap(trk.update_with_detections,
+                           in_axes=(0, None, None, None)))(
+        batch, pts, desc, valid)
+    c = np.asarray(jax.vmap(trk.corners)(out))
+    assert c.shape[0] == 3 and np.isfinite(c).all()
+    # identity frame: fitted warp stays near the init region
+    assert np.abs(np.transpose(c, (0, 2, 1)) - corners).max() < 5.0
+
+
+@pytest.mark.parametrize("det", ["fast", "gftt"])
+def test_detect_only_detectors_pair_with_orb(det):
+    """FAST/GFTT (detector-only families, mtf.h:672-706) pair with an
+    ORB descriptor stage."""
+    pytest.importorskip("cv2")
+    import mtf_tpu
+    rng = np.random.RandomState(12)
+    img = (rng.uniform(0, 255, (160, 160)) > 127).astype(np.float32) * 255
+    import scipy.ndimage as ndi
+    img = jnp.asarray(ndi.gaussian_filter(img, 1.0)[..., None])
+    corners = np.array([[30.0, 30.0], [130.0, 30.0],
+                        [130.0, 130.0], [30.0, 130.0]], np.float32)
+    trk = mtf_tpu.create_tracker(sm="feat", ssm="2", detector=det)
+    st = trk.initialize(img, corners)
+    st = trk.update(st, img)
+    c = np.asarray(trk.corners(st)).T
+    assert np.abs(c - corners).max() < 5.0, c

@@ -71,3 +71,67 @@ def test_lk_tracks_translation_with_spline(test_image):
     out = np.asarray(sm.corners(st)).T
     expected = np.asarray(corners) + np.array([1.5, -1.0], np.float32)
     assert np.linalg.norm(out - expected, axis=-1).mean() < 0.5
+
+
+def test_spline_influence_regions_partition_of_unity():
+    """Reference initInterpolationWeights semantics (Spline.cc:186-204):
+    weights truncate outside the influence span and row-normalize to 1."""
+    ssm = Spline(5, 5, overlap=0.1)
+    pts = jnp.asarray(np.random.default_rng(0).uniform(-0.5, 0.5, (64, 2)),
+                      jnp.float32)
+    w = np.asarray(ssm.weights(pts))
+    assert np.allclose(w.sum(axis=1), 1.0, atol=1e-5)
+    # locality: each point is influenced by few controls, not all 25
+    assert (w > 1e-6).sum(axis=1).max() <= 9
+
+
+@pytest.mark.parametrize("interp_type", ["bilinear", "biquadratic",
+                                         "bicubic"])
+def test_spline_interp_types(interp_type):
+    """All three InterpolationType enum values work (the reference throws
+    FunctonNotImplemented for the last two, Spline.cc:230-233)."""
+    ssm = Spline(4, 4, interp_type=interp_type)
+    st = jnp.asarray(np.random.default_rng(1).normal(0, 0.02, (ssm.dof,)),
+                     jnp.float32)
+    pts = jnp.asarray(np.random.default_rng(2).uniform(-0.5, 0.5, (32, 2)),
+                      jnp.float32)
+    d = np.asarray(ssm.displacement(st, pts))
+    assert np.all(np.isfinite(d)) and np.abs(d).max() < 0.2
+
+
+def test_fclk_spline_recovers_nonrigid_warp(test_image):
+    """FCLK + SSD + spline recovers a synthetic NON-RIGID warp (VERDICT
+    r1 #9): the scene is bent by a smooth sinusoidal displacement field
+    no projective SSM can represent."""
+    import mtf_tpu
+    from mtf_tpu.ops import interp as I
+
+    img = jnp.asarray(test_image)
+    h, w = img.shape[:2]
+    corners = np.array([[40, 40], [120, 40], [120, 120], [40, 120]],
+                       np.float32)
+    # non-rigid frame: sample frame1 at x - d(x): content shifts by +d
+    xx, yy = jnp.meshgrid(jnp.arange(w, dtype=jnp.float32),
+                          jnp.arange(h, dtype=jnp.float32))
+    amp = 2.0
+    dx = amp * jnp.sin(2 * jnp.pi * (yy - 40) / 160.0)
+    dy = amp * jnp.cos(2 * jnp.pi * (xx - 40) / 160.0)
+    pts = jnp.stack([(xx - dx).ravel(), (yy - dy).ravel()], -1)
+    frame1 = I.sample(img, pts, "linear", "replicate").reshape(img.shape)
+
+    sm = mtf_tpu.create_tracker("fclk", "ssd", "spline", resx=24, resy=24,
+                                max_iters=40)
+    st = sm.initialize(img, jnp.asarray(corners))
+    st = sm.update(st, frame1)
+    # evaluate recovery at the template grid points, against the true field
+    region = st.region
+    from mtf_tpu.ops import warp as W
+    pts_t = sm.ssm.warp_pts(st.ssm_state, region.base_pts)
+    got = np.asarray(W.apply_warp(region.norm_mat, pts_t))
+    pts0 = np.asarray(W.apply_warp(region.norm_mat, region.base_pts))
+    true_dx = amp * np.sin(2 * np.pi * (pts0[:, 1] - 40) / 160.0)
+    true_dy = amp * np.cos(2 * np.pi * (pts0[:, 0] - 40) / 160.0)
+    expect = pts0 + np.stack([true_dx, true_dy], -1)
+    err = np.linalg.norm(got - expect, axis=-1)
+    base = np.linalg.norm(pts0 - expect, axis=-1)
+    assert err.mean() < 0.45 * base.mean(), (err.mean(), base.mean())
