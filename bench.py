@@ -214,8 +214,9 @@ def main():
     }
     for row in rows:
         print(json.dumps(row))
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "log", "bench_rows.json"), "w") as f:
+    log_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "log")
+    os.makedirs(log_dir, exist_ok=True)
+    with open(os.path.join(log_dir, "bench_rows.json"), "w") as f:
         json.dump({"rows": rows, "headline": headline}, f, indent=1)
     print(json.dumps(headline))
 

@@ -228,6 +228,21 @@ class Homography(AdditiveMatrixSSM):
         return self.from_matrix(W.homography_dlt(src, dst, weights))
 
 
+class LieIsometry(ExpSSM):
+    """3-DOF SE(2) via exp of se(2) (exact closed form through expm).
+    Ref: SSM/src/LieIsometry.cc (307 LoC; absent from the reference
+    factory registry mtf.h:1070-1100 — provided for inventory parity)."""
+    name, dof = "liso", 3
+
+    def _generators(self):
+        return np.stack([G_TX, G_TY, G_ROT])
+
+    def fit_pts(self, src, dst, weights=None):
+        iso = Isometry()
+        return self.from_matrix(iso.to_matrix(iso.fit_pts(src, dst,
+                                                          weights)))
+
+
 class LieAffine(ExpSSM):
     """6-DOF affine via matrix exponential of the affine algebra.
     Ref: LieAffine.cc."""
@@ -308,6 +323,7 @@ SSM_REGISTRY = {
     "trans": Translation, "2": Translation,
     "ist": IST, "3s": IST,
     "iso": Isometry, "3": Isometry,
+    "liso": LieIsometry, "l3": LieIsometry,
     "ast": AST, "4s": AST,
     "sim": Similitude, "4": Similitude,
     "asrt": ASRT, "5": ASRT,

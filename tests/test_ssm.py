@@ -6,7 +6,7 @@ import pytest
 from mtf_tpu.ssm import get_ssm
 from mtf_tpu.ssm.projective import SSM_REGISTRY
 
-KEYS = ["trans", "ist", "iso", "ast", "sim", "asrt", "aff", "hom",
+KEYS = ["trans", "ist", "iso", "liso", "ast", "sim", "asrt", "aff", "hom",
         "laff", "lhom", "sl3", "cbh"]
 
 
