@@ -55,6 +55,22 @@ def _fleet_fps(sm, B):
 def _synth_acc(sm, n_frames=6, sigma_scale=0.01, seed=3):
     """Mean corner distance on a short exact-GT synthetic sequence (CPU
     path of the same program; accuracy is backend-independent)."""
+    import jax
+
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu = None
+    if cpu is not None:
+        # run on the host CPU device: avoids minutes of per-config
+        # compile + per-frame dispatch over the axon tunnel for a
+        # backend-independent number
+        with jax.default_device(cpu):
+            return _synth_acc_impl(sm, n_frames, sigma_scale, seed)
+    return _synth_acc_impl(sm, n_frames, sigma_scale, seed)
+
+
+def _synth_acc_impl(sm, n_frames, sigma_scale, seed):
     import jax.numpy as jnp
     from mtf_tpu.utils import synth
 

@@ -44,7 +44,8 @@ def _sm_params(cfg: dict) -> SMParams:
         crop=int(cfg["crop"]) if cfg.get("crop") else None,
         crop_blocks=tuple(cfg["crop_blocks"])
             if cfg.get("crop_blocks") else None,
-        use_pallas=bool(cfg.get("use_pallas", False)),
+        use_pallas=(None if cfg.get("use_pallas") is None
+                    else bool(cfg.get("use_pallas"))),
         interp_bf16=bool(cfg.get("interp_bf16", False)),
         hess_type=str(cfg.get("hess_type", "selft")),
         jac_type=str(cfg.get("jac_type", "original")),

@@ -181,6 +181,147 @@ def lk_fused_gn_t(img: Array, ptsT: Array, jacT: Array, templ: Array,
     return val[:n], jnp.sum(g, axis=0), jnp.sum(h_, axis=0)
 
 
+def _chain_kernel(kind, hc, wc, n_s, rpad, tn, n_valid, sub_ref, a_ref,
+                  ph_ref, templ_ref, val_ref, g_ref, h_ref):
+    """Whole LK iteration from the 3x3 warp algebra up: point projection,
+    quotient-rule warp Jacobian, tap weights, MXU sampling contractions,
+    SSD residual, g = J^T r and J^T J — no per-point tensor ever leaves
+    VMEM. Inputs per tile: A ((8+3R, 3) stacked [M0; rows of M0 G_s]),
+    ph ((3, TN) homogeneous base points), templ, the cropped window."""
+    A = a_ref[0]                                            # (8+3R, 3)
+    ph = ph_ref[0]                                          # (3, TN)
+    Q = jax.lax.dot_general(A, ph, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    winv = 1.0 / Q[2, :]
+    xr = Q[0, :] * winv                                     # (TN,) lanes
+    yr = Q[1, :] * winv
+    Qx = Q[8:8 + n_s, :]                                    # (S, TN)
+    Qy = Q[8 + rpad:8 + rpad + n_s, :]
+    Qw = Q[8 + 2 * rpad:8 + 2 * rpad + n_s, :]
+    # quotient rule: d(u/w)/dp = (du - (u/w) dw) / w
+    jx = (Qx - xr[None, :] * Qw) * winv[None, :]
+    jy = (Qy - yr[None, :] * Qw) * winv[None, :]
+
+    lo = 0.001 if kind == "linear" else 1.001
+    hix = (wc - 1.001) if kind == "linear" else (wc - 2.001)
+    hiy = (hc - 1.001) if kind == "linear" else (hc - 2.001)
+    x = jnp.clip(xr, lo, hix)
+    y = jnp.clip(yr, lo, hiy)
+    kx = jax.lax.broadcasted_iota(jnp.int32, (wc, tn), 0).astype(jnp.float32)
+    wxt, dpxt = _weights_dense(kx - x[None, :], kind)       # (Wc, TN)
+    ky = jax.lax.broadcasted_iota(jnp.int32, (hc, tn), 0).astype(jnp.float32)
+    wyt, dpyt = _weights_dense(ky - y[None, :], kind)       # (Hc, TN)
+
+    sub = sub_ref[0, :, :]                                  # (Hc, Wc) bf16
+    tmp = jnp.dot(sub, wxt.astype(jnp.bfloat16),
+                  preferred_element_type=jnp.float32)       # (Hc, TN)
+    tmp_dx = jnp.dot(sub, dpxt.astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)
+    val = jnp.sum(wyt * tmp, axis=0)
+    dx = -jnp.sum(wyt * tmp_dx, axis=0)
+    dy = -jnp.sum(dpyt * tmp, axis=0)
+    val_ref[0, 0, :] = val
+
+    r = templ_ref[0, 0, :] - val
+    # zero padded lanes (pad columns are (0,0,1) points with LIVE
+    # Jacobians — mask J so they contribute to neither g nor J^T J)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, tn), 1)[0, :]
+    live = (lane + pl.program_id(1) * tn < n_valid).astype(jnp.float32)
+    Jm = (jx * dx[None, :] + jy * dy[None, :]) * live[None, :]  # (S, TN)
+    g = jnp.sum(Jm * r[None, :], axis=1, keepdims=True)
+    g_ref[0, 0, 0, :] = g[:, 0]
+    h_ref[0, 0, :, :] = jax.lax.dot_general(
+        Jm, Jm, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def _chain_core_for(kind: str, n_s: int, n_valid: int,
+                    interpret: bool = False):
+    def batched(subs, A, ph, templ):
+        b, hc, wc = subs.shape
+        n_pad = ph.shape[2]
+        rpad = (A.shape[1] - 8) // 3
+        tn = _tile_of(n_pad)
+        t = n_pad // tn
+        sub_blk = pl.BlockSpec((1, hc, wc), lambda i, j: (i, 0, 0),
+                               memory_space=pltpu.VMEM)
+        ablk = pl.BlockSpec((1, A.shape[1], 3), lambda i, j: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+        phblk = pl.BlockSpec((1, 3, tn), lambda i, j: (i, 0, j),
+                             memory_space=pltpu.VMEM)
+        vec = pl.BlockSpec((1, 1, tn), lambda i, j: (i, 0, j),
+                           memory_space=pltpu.VMEM)
+        gblk = pl.BlockSpec((1, 1, 1, n_s), lambda i, j: (i, j, 0, 0),
+                            memory_space=pltpu.VMEM)
+        hblk = pl.BlockSpec((1, 1, n_s, n_s), lambda i, j: (i, j, 0, 0),
+                            memory_space=pltpu.VMEM)
+        val, g, h = pl.pallas_call(
+            functools.partial(_chain_kernel, kind, hc, wc, n_s, rpad, tn,
+                              n_valid),
+            grid=(b, t),
+            in_specs=[sub_blk, ablk, phblk, vec],
+            out_specs=(vec, gblk, hblk),
+            out_shape=(jax.ShapeDtypeStruct((b, 1, n_pad), jnp.float32),
+                       jax.ShapeDtypeStruct((b, t, 1, n_s), jnp.float32),
+                       jax.ShapeDtypeStruct((b, t, n_s, n_s), jnp.float32)),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * 2 * b * n_pad * hc * wc, transcendentals=0,
+                bytes_accessed=b * (hc * wc * 2 + n_pad * 4 * 5)),
+            interpret=interpret,
+        )(subs, A, ph, templ[:, None])
+        return val[:, 0], g[:, :, 0], h
+
+    @jax.custom_batching.custom_vmap
+    def core(sub, A, ph, templ):
+        val, g, h = batched(sub[None], A[None], ph[None], templ[None])
+        return val[0], g[0], h[0]
+
+    @core.def_vmap
+    def _core_vmap(axis_size, in_batched, sub, A, ph, templ):  # noqa: F811
+        bcast = lambda z, b: z if b else jnp.broadcast_to(  # noqa: E731
+            z[None], (axis_size,) + z.shape)
+        out = batched(bcast(sub, in_batched[0]), bcast(A, in_batched[1]),
+                      bcast(ph, in_batched[2]), bcast(templ, in_batched[3]))
+        return out, (True, True, True)
+
+    return core
+
+
+def lk_fused_chain(img: Array, M0: Array, gens: Array, ph: Array,
+                   templ: Array, kind: str = "linear",
+                   interpret: bool = False):
+    """Chain-fused LK iteration: ONLY 3x3-scale warp algebra stays in XLA.
+
+    img (Hc, Wc) pre-cropped window; M0 (3, 3) mapping the homogeneous
+    base points ph (3, N) to window coords; gens (S, 3, 3) SSM generator
+    basis (d to_matrix / dp at identity); templ (N,). Returns
+    (val (N,), g (S,) = J^T(templ - val), JtJ (S, S)) — points, warp
+    Jacobian, sampling and reductions all happen inside the kernel, so
+    per-iteration HBM traffic is O(window + N) instead of O(N * 2S).
+    """
+    n = ph.shape[1]
+    n_s = gens.shape[0]
+    rpad = ((n_s + 7) // 8) * 8
+    MG = jnp.einsum("ij,sjk->sik", M0, gens)                # (S, 3, 3)
+    A = jnp.zeros((8 + 3 * rpad, 3), jnp.float32)
+    A = A.at[0:3].set(M0)
+    A = A.at[8:8 + n_s].set(MG[:, 0])
+    A = A.at[8 + rpad:8 + rpad + n_s].set(MG[:, 1])
+    A = A.at[8 + 2 * rpad:8 + 2 * rpad + n_s].set(MG[:, 2])
+    tile = _tile_of(n)
+    if n % tile != 0:
+        pad = ((n + tile - 1) // tile) * tile - n
+        # pad with (0, 0, 1) points: finite projection, masked residual
+        ph = jnp.concatenate(
+            [ph, jnp.tile(jnp.asarray([[0.0], [0.0], [1.0]], ph.dtype),
+                          (1, pad))], axis=1)
+        templ = jnp.pad(templ, ((0, pad),))
+    val, g, h = _chain_core_for(kind, n_s, n, interpret)(
+        img.astype(jnp.bfloat16), A, ph, templ)
+    return val[:n], jnp.sum(g, axis=0), jnp.sum(h, axis=0)
+
+
 def lk_fused_gn(img: Array, pts: Array, Jpts: Array, templ: Array,
                 kind: str = "linear", crop: int | None = None,
                 interpret: bool = False):

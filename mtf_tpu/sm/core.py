@@ -59,7 +59,12 @@ class SMParams:
     crop: int | None = None        # static crop window for dense sampling
     crop_blocks: tuple | None = None  # (by, bx) tiled dense sampling; crop
                                    # becomes the per-tile window
-    use_pallas: bool = False       # fused Pallas kernel for _mm sampling
+    use_pallas: bool | None = None  # None = auto: the chain-fused whole-
+                                   # iteration Pallas kernel on TPU (+12%
+                                   # fleet fps, see CLAUDE.md), XLA dense
+                                   # path elsewhere; True additionally
+                                   # opts non-fusable configs into the
+                                   # Pallas sampling kernel
     interp_bf16: bool = False      # bf16 MXU contractions for _mm sampling
     hess_type: str = "self0"       # self0 | selft | std | std2 (ESMParams.h:13-18)
     jac_type: str = "original"     # original | diff_of_jacs (ESM)

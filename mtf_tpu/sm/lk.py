@@ -202,7 +202,9 @@ class LKBase(SearchMethod):
         Hessian, no ILM/SPI/ESM-jac, single-channel dense sampling."""
         from mtf_tpu.ssm.base import SSM as _SSMBase
         prm, am = self.prm, self.am
-        return (prm.use_pallas and prm.interp.endswith("_mm")
+        use_p = (prm.use_pallas or (prm.use_pallas is None
+                                    and jax.default_backend() == "tpu"))
+        return (use_p and prm.interp.endswith("_mm")
                 and not self.inverse and not self.use_esm_jac
                 and self.compositional and am.name == "ssd"
                 and am.ilm.n_params == 0
@@ -216,42 +218,45 @@ class LKBase(SearchMethod):
 
     def _iteration_fused(self, state: TrackerState, frame: Array,
                          carry: _LKCarry, offset=None):
-        from mtf_tpu.ops.pallas.lk_fused import lk_fused_gn_t
+        """Chain-fused iteration: ONLY the 3x3 warp algebra stays in XLA
+        (M0 = norm ∘ W(p) and the per-generator products M0 G_s); the
+        kernel projects the base points, builds the quotient-rule warp
+        Jacobian, samples, and reduces g / J^T J entirely in VMEM
+        (ops/pallas/lk_fused.py:lk_fused_chain). The previous design fed
+        precomputed (2S, N) Jacobians and measured ~1.2 ms/iter of XLA
+        glue at B=256 fleet scale just assembling them."""
+        from mtf_tpu.ops.pallas.lk_fused import lk_fused_chain
         ssm, prm = self.ssm, self.prm
         S = ssm.dof
         region = state.region
         n = region.base_pts.shape[0]
-        # transposed warp chain: every array is (3, N)/(2, N) lanes-major
-        # so the kernel inputs need no relayout (lk_fused.py docstring)
         ph = jnp.concatenate([region.base_pts.T,
                               jnp.ones((1, n), jnp.float32)])   # (3, N)
         M0 = region.norm_mat @ ssm.to_matrix(carry.ssm_state)
-
-        def ptsT_of(dp):
-            M = M0 @ ssm.to_matrix(dp)
-            q = M @ ph
-            return q[:2] / q[2:3]                               # (2, N)
-
-        zero = jnp.zeros((S,), jnp.float32)
-        ptsT, cols = jax.jvp(ptsT_of, (zero,),
-                             (jnp.eye(S, dtype=jnp.float32)[0],))
-        rows_x, rows_y = [cols[0]], [cols[1]]
-        for s in range(1, S):
-            _, c = jax.jvp(ptsT_of, (zero,),
-                           (jnp.eye(S, dtype=jnp.float32)[s],))
-            rows_x.append(c[0])
-            rows_y.append(c[1])
-        jacT = jnp.concatenate([jnp.stack(rows_x),
-                                jnp.stack(rows_y)])             # (2S, N)
-        crop_arg = prm.crop
+        frame_w = frame
         if offset is not None:
-            ptsT = ptsT - offset[:, None]
-            crop_arg = None
+            # crop hoisted by _update: shift the warp into window coords
+            M0 = M0.at[0].add(-offset[0] * M0[2]) \
+                   .at[1].add(-offset[1] * M0[2])
+        elif prm.crop is not None and (prm.crop < frame.shape[0]
+                                       or prm.crop < frame.shape[1]):
+            # direct (non-hoisted) call: window from the warped corners
+            h, w = frame.shape
+            hc, wc = min(prm.crop, h), min(prm.crop, w)
+            ci = W.apply_warp(M0, region.base_corners)          # (4, 2)
+            x0 = jnp.clip(jnp.floor(jnp.min(ci[:, 0])) - 2.0,
+                          0.0, float(w - wc))
+            y0 = jnp.clip(jnp.floor(jnp.min(ci[:, 1])) - 2.0,
+                          0.0, float(h - hc))
+            frame_w = jax.lax.dynamic_slice(
+                frame, (y0.astype(jnp.int32), x0.astype(jnp.int32)),
+                (hc, wc))
+            M0 = M0.at[0].add(-x0 * M0[2]).at[1].add(-y0 * M0[2])
         templ = state.am_state.template.reshape(-1)
-        val, j, jtj = lk_fused_gn_t(frame, ptsT, jacT, templ,
-                                    prm.interp[:-3], crop=crop_arg,
-                                    interpret=jax.default_backend()
-                                    != "tpu")
+        val, j, jtj = lk_fused_chain(frame_w, M0, ssm.generators, ph,
+                                     templ, prm.interp[:-3],
+                                     interpret=jax.default_backend()
+                                     != "tpu")
         # SSD: selft == std == -J^T J at the current J (d2f/dI2 = -I);
         # self0 is the cached template-J Hessian
         H = state.extra.H0 if prm.hess_type == "self0" else -jtj

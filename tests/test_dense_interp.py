@@ -113,3 +113,54 @@ def test_blocked_dense_matches(img_pts):
                                          grid_shape=(20, 20), blocks=(2, 2))
     assert float(jnp.max(jnp.abs(v0 - v1))) < 1e-4
     assert float(jnp.max(jnp.abs(g0 - g1))) < 1e-4
+
+
+@pytest.mark.parametrize("n_pts", [1024, 4500])
+def test_lk_fused_chain_matches_jvp_jacobian(n_pts):
+    """Chain-fused kernel (in-VMEM point projection + quotient-rule warp
+    Jacobian) == explicit jvp-built (2S, N) Jacobian fed to the
+    transposed kernel. 4500 pts exercises the tiled + masked-pad path."""
+    import jax
+    from mtf_tpu.ops.pallas.lk_fused import lk_fused_chain, lk_fused_gn_t
+    from mtf_tpu.ssm import get_ssm
+
+    rng = np.random.default_rng(3)
+    img = jnp.asarray(rng.uniform(0, 255, (128, 128)), jnp.float32)
+    ssm = get_ssm("8")
+    S = ssm.dof
+    state = jnp.asarray(rng.normal(0, 0.02, S), jnp.float32)
+    # base points in a normalized-ish frame; M0 maps them into the window
+    side = int(np.sqrt(n_pts))
+    g = np.stack(np.meshgrid(np.linspace(-0.5, 0.5, side),
+                             np.linspace(-0.5, 0.5, side)), -1).reshape(-1, 2)
+    g = np.concatenate([g, rng.uniform(-0.5, 0.5, (n_pts - side * side, 2))])
+    ph = jnp.asarray(np.concatenate([g.T, np.ones((1, n_pts))]), jnp.float32)
+    norm = jnp.asarray([[60.0, 0, 64], [0, 60.0, 64], [0, 0, 1]], jnp.float32)
+    M0 = norm @ ssm.to_matrix(state)
+    templ = jnp.asarray(rng.uniform(0, 255, n_pts), jnp.float32)
+
+    def ptsT_of(dp):
+        q = (M0 @ ssm.to_matrix(dp)) @ ph
+        return q[:2] / q[2:3]
+
+    zero = jnp.zeros((S,), jnp.float32)
+    ptsT = ptsT_of(zero)
+    rows_x, rows_y = [], []
+    for s in range(S):
+        _, c = jax.jvp(ptsT_of, (zero,), (jnp.eye(S, dtype=jnp.float32)[s],))
+        rows_x.append(c[0])
+        rows_y.append(c[1])
+    jacT = jnp.concatenate([jnp.stack(rows_x), jnp.stack(rows_y)])
+
+    v1, g1, h1 = lk_fused_gn_t(img, ptsT, jacT, templ, interpret=True)
+    v2, g2, h2 = lk_fused_chain(img, M0, ssm.generators, ph, templ,
+                                interpret=True)
+    # positions are computed in different (equivalent) association orders;
+    # last-ulp coordinate rounding moves linear-tap weights by ~1e-6,
+    # i.e. <=0.5 intensity levels on 0-255 imagery
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1.0)
+    # g/h are large cancellation-heavy f32 reductions; compare against
+    # the vector/matrix scale, not elementwise (reduction-order noise)
+    g1, g2, h1, h2 = (np.asarray(a) for a in (g1, g2, h1, h2))
+    assert np.max(np.abs(g1 - g2)) <= 1e-4 * np.linalg.norm(g1), (g1, g2)
+    assert np.max(np.abs(h1 - h2)) <= 1e-4 * np.linalg.norm(h1)
