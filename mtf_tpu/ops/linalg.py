@@ -23,24 +23,30 @@ def chol_solve_small(A: Array, b: Array, jitter: float = 0.0) -> Array:
     S = A.shape[-1]
     if jitter:
         A = A + jitter * jnp.eye(S, dtype=A.dtype)
-    # Cholesky: L lower-triangular, A = L L^T (unrolled, static S)
-    L = jnp.zeros_like(A)
+    # scalar-register form: every entry is its own traced scalar and the
+    # whole factorization + substitutions become ONE fusable elementwise
+    # chain. The previous matrix-carry form (.at[].set per column) cost
+    # 31 dynamic-update-slices per solve, each a fusion barrier at
+    # vmapped fleet scale.
+    a = {(i, j): A[..., i, j] for i in range(S) for j in range(i + 1)}
+    L, inv = {}, {}
     for j in range(S):
-        s = A[j, j] - jnp.sum(L[j, :j] * L[j, :j])
+        s = a[(j, j)] - sum(L[(j, k)] * L[(j, k)] for k in range(j))
         d = jnp.sqrt(jnp.maximum(s, 1e-30))
-        L = L.at[j, j].set(d)
-        if j + 1 < S:
-            r = (A[j + 1:, j] - L[j + 1:, :j] @ L[j, :j]) / d
-            L = L.at[j + 1:, j].set(r)
-    # forward substitution L y = b
-    y = jnp.zeros_like(b)
-    for i in range(S):
-        y = y.at[i].set((b[i] - L[i, :i] @ y[:i]) / L[i, i])
-    # back substitution L^T x = y
-    x = jnp.zeros_like(b)
-    for i in reversed(range(S)):
-        x = x.at[i].set((y[i] - L[i + 1:, i] @ x[i + 1:]) / L[i, i])
-    return x
+        L[(j, j)] = d
+        inv[j] = 1.0 / d
+        for i in range(j + 1, S):
+            L[(i, j)] = (a[(i, j)] - sum(L[(i, k)] * L[(j, k)]
+                                         for k in range(j))) * inv[j]
+    y = {}
+    for i in range(S):                      # forward substitution L y = b
+        y[i] = (b[..., i] - sum(L[(i, k)] * y[k]
+                                for k in range(i))) * inv[i]
+    x = {}
+    for i in reversed(range(S)):            # back substitution L^T x = y
+        x[i] = (y[i] - sum(L[(k, i)] * x[k]
+                           for k in range(i + 1, S))) * inv[i]
+    return jnp.stack([x[i] for i in range(S)], axis=-1)
 
 
 def neg_def_solve(H: Array, g: Array) -> Array:

@@ -34,6 +34,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -303,12 +304,22 @@ def lk_fused_chain(img: Array, M0: Array, gens: Array, ph: Array,
     n = ph.shape[1]
     n_s = gens.shape[0]
     rpad = ((n_s + 7) // 8) * 8
-    MG = jnp.einsum("ij,sjk->sik", M0, gens)                # (S, 3, 3)
-    A = jnp.zeros((8 + 3 * rpad, 3), jnp.float32)
-    A = A.at[0:3].set(M0)
-    A = A.at[8:8 + n_s].set(MG[:, 0])
-    A = A.at[8 + rpad:8 + rpad + n_s].set(MG[:, 1])
-    A = A.at[8 + 2 * rpad:8 + 2 * rpad + n_s].set(MG[:, 2])
+    rows = 8 + 3 * rpad
+    # A is LINEAR in M0 (gens are trace-time constants), so assemble it
+    # as ONE (9,) @ (9, rows*3) matvec against a constant embedding
+    # tensor instead of 4 dynamic-update-slices — at B=256 fleet scale
+    # the vmapped DUS chain measured ~0.2 ms/iter on chip
+    gens_np = np.asarray(gens, np.float32)
+    C = np.zeros((3, 3, rows, 3), np.float32)
+    for r in range(3):
+        for k in range(3):
+            C[r, k, r, k] = 1.0                 # rows 0-2: M0 itself
+    for b in range(3):
+        for s in range(n_s):
+            # A[8 + b*rpad + s, k] = sum_j M0[b, j] G_s[j, k]
+            C[b, :, 8 + b * rpad + s, :] = gens_np[s]
+    A = (M0.reshape(9) @ jnp.asarray(C.reshape(9, rows * 3))
+         ).reshape(rows, 3)
     tile = _tile_of(n)
     if n % tile != 0:
         pad = ((n + tile - 1) // tile) * tile - n

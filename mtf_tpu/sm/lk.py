@@ -217,7 +217,7 @@ class LKBase(SearchMethod):
                 and type(self.ssm).warp_pts_from is _SSMBase.warp_pts_from)
 
     def _iteration_fused(self, state: TrackerState, frame: Array,
-                         carry: _LKCarry, offset=None):
+                         carry: _LKCarry, offset=None, fenv=None):
         """Chain-fused iteration: ONLY the 3x3 warp algebra stays in XLA
         (M0 = norm ∘ W(p) and the per-generator products M0 G_s); the
         kernel projects the base points, builds the quotient-rule warp
@@ -230,14 +230,18 @@ class LKBase(SearchMethod):
         S = ssm.dof
         region = state.region
         n = region.base_pts.shape[0]
-        ph = jnp.concatenate([region.base_pts.T,
-                              jnp.ones((1, n), jnp.float32)])   # (3, N)
+        # ph is loop-invariant: _update precomputes it outside the
+        # iteration loop (fenv); rebuilt here only on direct calls
+        ph = fenv if fenv is not None else jnp.concatenate(
+            [region.base_pts.T, jnp.ones((1, n), jnp.float32)])  # (3, N)
         M0 = region.norm_mat @ ssm.to_matrix(carry.ssm_state)
         frame_w = frame
         if offset is not None:
             # crop hoisted by _update: shift the warp into window coords
-            M0 = M0.at[0].add(-offset[0] * M0[2]) \
-                   .at[1].add(-offset[1] * M0[2])
+            # (rows 0/1 minus offset*row2 — arithmetic, not .at[] DUS)
+            offs3 = jnp.concatenate([offset,
+                                     jnp.zeros((1,), offset.dtype)])
+            M0 = M0 - offs3[:, None] * M0[2][None, :]
         elif prm.crop is not None and (prm.crop < frame.shape[0]
                                        or prm.crop < frame.shape[1]):
             # direct (non-hoisted) call: window from the warped corners
@@ -251,7 +255,8 @@ class LKBase(SearchMethod):
             frame_w = jax.lax.dynamic_slice(
                 frame, (y0.astype(jnp.int32), x0.astype(jnp.int32)),
                 (hc, wc))
-            M0 = M0.at[0].add(-x0 * M0[2]).at[1].add(-y0 * M0[2])
+            offs3 = jnp.stack([x0, y0, jnp.zeros((), x0.dtype)])
+            M0 = M0 - offs3[:, None] * M0[2][None, :]
         templ = state.am_state.template.reshape(-1)
         val, j, jtj = lk_fused_chain(frame_w, M0, ssm.generators, ph,
                                      templ, prm.interp[:-3],
@@ -268,9 +273,9 @@ class LKBase(SearchMethod):
 
     # -- one GN/LM iteration -------------------------------------------
     def _iteration(self, state: TrackerState, frame: Array, carry: _LKCarry,
-                   offset=None):
+                   offset=None, fenv=None):
         if self._fused_ok(state, frame):
-            return self._iteration_fused(state, frame, carry, offset)
+            return self._iteration_fused(state, frame, carry, offset, fenv)
         am, ssm, prm = self.am, self.ssm, self.prm
         S, P = ssm.dof, am.ilm.n_params
         q_dim = S + P
@@ -402,6 +407,19 @@ class LKBase(SearchMethod):
                                                       (hc, wc))
                 offset = jnp.stack([x0, y0])
 
+        # loop-invariant fused-path environment: homogeneous base points
+        # + the bf16 window cast, hoisted so the while body doesn't
+        # rebuild them every iteration (each shows up as fleet-scale
+        # dynamic-update-slices / converts in the trace)
+        fenv = None
+        frame_f32 = frame_eff
+        if self._fused_ok(state, frame_eff):
+            base = state.region.base_pts
+            fenv = jnp.concatenate(
+                [base.T, jnp.ones((1, base.shape[0]), jnp.float32)])
+            if not prm.enable_lm and frame_eff.ndim == 2:
+                frame_eff = frame_eff.astype(jnp.bfloat16)
+
         def corners_of(s):
             c_t = ssm.warp_pts(s, state.region.base_corners)
             return W.apply_warp(state.region.norm_mat, c_t)
@@ -417,7 +435,8 @@ class LKBase(SearchMethod):
                                    jnp.logical_not(c.done))
 
         def body(c: _LKCarry):
-            dq, patch, j = self._iteration(state, frame_eff, c, offset)
+            dq, patch, j = self._iteration(state, frame_eff, c, offset,
+                                           fenv)
             new_ssm, new_pam = self._apply_dq(c.ssm_state, c.p_am, dq)
             corner_change = jnp.max(jnp.linalg.norm(
                 corners_of(new_ssm) - corners_of(c.ssm_state), axis=-1))
@@ -448,7 +467,7 @@ class LKBase(SearchMethod):
         new_state = state._replace(ssm_state=out.ssm_state, am_state=new_am)
         # online template learning (PCA etc., NT/FCLK.cc:353)
         fn = self._patch_fn(state.region, out.ssm_state, out.p_am,
-                            frame_eff, offset)
+                            frame_f32, offset)
         final_patch = fn(jnp.zeros((q_dim,), jnp.float32))
         new_am2 = am.update_model(new_am, final_patch)
         return new_state._replace(am_state=new_am2)

@@ -217,3 +217,34 @@ def test_viz_annotate_and_record(tmp_path):
     while cap.read()[0]:
         n += 1
     assert n == 3
+
+
+def test_chol_solve_small_matches_numpy():
+    """Scalar-register unrolled Cholesky == numpy solve (SPD systems),
+    unbatched and vmapped."""
+    import jax
+    import jax.numpy as jnp
+
+    from mtf_tpu.ops.linalg import chol_solve_small, neg_def_solve
+
+    rng = np.random.default_rng(0)
+    for S in (2, 3, 8, 14):
+        M = rng.normal(0, 1, (S, S))
+        A = (M @ M.T + S * np.eye(S)).astype(np.float32)
+        b = rng.normal(0, 1, S).astype(np.float32)
+        x = np.asarray(chol_solve_small(jnp.asarray(A), jnp.asarray(b)))
+        np.testing.assert_allclose(x, np.linalg.solve(A, b),
+                                   rtol=2e-4, atol=2e-4)
+        xn = np.asarray(neg_def_solve(jnp.asarray(-A), jnp.asarray(b)))
+        np.testing.assert_allclose(xn, np.linalg.solve(A, b),
+                                   rtol=2e-4, atol=2e-4)
+    # batched via vmap
+    Ms = rng.normal(0, 1, (5, 8, 8))
+    As = (Ms @ np.transpose(Ms, (0, 2, 1))
+          + 8 * np.eye(8)).astype(np.float32)
+    bs = rng.normal(0, 1, (5, 8)).astype(np.float32)
+    xs = np.asarray(jax.vmap(chol_solve_small)(jnp.asarray(As),
+                                               jnp.asarray(bs)))
+    np.testing.assert_allclose(
+        xs, np.linalg.solve(As, bs[..., None])[..., 0],
+        rtol=2e-4, atol=2e-4)
