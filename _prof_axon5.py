@@ -50,6 +50,12 @@ def run(use_pallas, B=256, warmup=3, steps=20):
 
 
 def main():
+    import sys
+    if "--sweep" in sys.argv:
+        for b in (1024, 1536):
+            fps, _ = run("auto", B=b)
+            print(f"B={b}: {fps:,.0f} fps/chip", flush=True)
+        return
     fps_x, c_x = run(False)
     print(f"XLA dense:    {fps_x:,.0f} fps/chip", flush=True)
     fps_p, c_p = run("auto")
