@@ -151,6 +151,10 @@ def run_cv2_klt(frames, gt, grid=8, win=21, levels=3):
                 corners = cv2.perspectiveTransform(
                     c0.reshape(-1, 1, 2).astype(np.float64), H)
         errs.append(_mcd(corners.reshape(-1, 2), gt[t]))
+        # failed points (st==0) must not drift on garbage coordinates:
+        # hold them at their last good position so the contender is not
+        # handicapped relative to its usual usage
+        nxt = np.where(ok[:, None, None], nxt, prev_pts)
         prev, prev_pts = cur, nxt
     return errs
 
@@ -217,6 +221,10 @@ def main(argv=None):
                              "parity": best_ours <= best_cv + 0.25})
     for r in rows + verdicts:
         print(json.dumps(r))
+    # total harness failure (no verdicts, or any contender raised) must
+    # NOT read as parity success
+    if not verdicts or any("error" in r for r in rows):
+        return 2
     return 0 if all(v["parity"] for v in verdicts) else 1
 
 

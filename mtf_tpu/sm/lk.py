@@ -35,6 +35,20 @@ from mtf_tpu.sm.core import SearchMethod, TrackerState
 Array = jax.Array
 
 
+def _tpu_compute() -> bool:
+    """True when traced computations will actually run on TPU.
+
+    `jax.default_backend()` ignores `jax.default_device(cpu)` /
+    `jax.config.jax_default_device` (jax 0.9), so a TPU-attached process
+    running a CPU-placed accuracy leg must NOT dispatch Mosaic kernels.
+    Honor the configured default device first, then the backend."""
+    dev = jax.config.jax_default_device
+    if dev is not None:
+        platform = getattr(dev, "platform", dev)
+        return str(platform).lower().startswith("tpu")
+    return jax.default_backend() == "tpu"
+
+
 class LKCache(NamedTuple):
     """Per-tracker cached init quantities (ICLK/ESM hoisting,
     NT/ICLK.cc:initialize)."""
@@ -133,7 +147,7 @@ class LKBase(SearchMethod):
             from mtf_tpu.ops.pallas import sample_dense_pallas_parts
             patch, dx, dy = sample_dense_pallas_parts(
                 frame, pts, prm.interp[:-3], crop=crop_arg,
-                interpret=jax.default_backend() != "tpu")
+                interpret=not _tpu_compute())
             Jp = (dx[..., None] * Jpts[:, None, 0, :]
                   + dy[..., None] * Jpts[:, None, 1, :])  # (N, C, S)
             grad = None
@@ -203,7 +217,7 @@ class LKBase(SearchMethod):
         from mtf_tpu.ssm.base import SSM as _SSMBase
         prm, am = self.prm, self.am
         use_p = (prm.use_pallas or (prm.use_pallas is None
-                                    and jax.default_backend() == "tpu"))
+                                    and _tpu_compute()))
         return (use_p and prm.interp.endswith("_mm")
                 and not self.inverse and not self.use_esm_jac
                 and self.compositional and am.name == "ssd"
@@ -260,8 +274,7 @@ class LKBase(SearchMethod):
         templ = state.am_state.template.reshape(-1)
         val, j, jtj = lk_fused_chain(frame_w, M0, ssm.generators, ph,
                                      templ, prm.interp[:-3],
-                                     interpret=jax.default_backend()
-                                     != "tpu")
+                                     interpret=not _tpu_compute())
         # SSD: selft == std == -J^T J at the current J (d2f/dI2 = -I);
         # self0 is the cached template-J Hessian
         H = state.extra.H0 if prm.hess_type == "self0" else -jtj

@@ -1,4 +1,6 @@
 """Trace the pallas-kernel fleet update to find the 139ms."""
+if __name__ != "__main__":  # scratch driver: never run device work on import
+    raise ImportError("one-off profiling driver; run as a script")
 import os
 import time
 
