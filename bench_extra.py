@@ -107,18 +107,22 @@ def bench_esm_ncc():
 
 
 def bench_pf500():
-    """BASELINE config #4 (single-chip half): PF with 500 particles."""
-    return _row("pf500_ssim_hom8_frames_per_sec_per_chip",
-                ("pf500", "ssim", "8"),
-                dict(resx=25, resy=25, max_iters=1), B=32,
+    """BASELINE config #4 (single-chip half): PF(500) + FCLM/SSIM/hom —
+    the reference headline config (ReadMe.md:434, LinTrack towel)."""
+    return _row("pf500_fclm_ssim_hom8_frames_per_sec_per_chip",
+                ("pffc", "ssim", "8"),
+                dict(resx=25, resy=25, pf_n_particles=500, enable_lm=True,
+                     max_iters=10, interp="linear_mm", crop=256), B=32,
                 acc_sigma=0.005)
 
 
 def bench_nn1k():
-    """NN with a 1000-sample dataset (MXU brute-force search)."""
-    return _row("nn1k_ssd_hom8_frames_per_sec_per_chip",
-                ("nn1k", "ssd", "8"),
-                dict(resx=25, resy=25, max_iters=2), B=64,
+    """NN(1k) + ICLM/MI/hom — the reference headline config
+    (ReadMe.md:433)."""
+    return _row("nn1k_iclm_mi_hom8_frames_per_sec_per_chip",
+                ("nnic", "mi", "8"),
+                dict(resx=25, resy=25, nn_n_samples=1000, enable_lm=True,
+                     max_iters=10, interp="linear_mm", crop=224), B=64,
                 acc_sigma=0.005)
 
 
@@ -127,13 +131,14 @@ def bench_rklt():
     template ESM refiner."""
     return _row("rklt_ssd_hom8_frames_per_sec_per_chip",
                 ("rklt", "ssd", "8"),
-                dict(resx=50, resy=50, max_iters=10, epsilon=0.0),
+                dict(resx=50, resy=50, max_iters=10, epsilon=0.0,
+                     interp="linear_mm", crop=160),
                 B=32)
 
 
 EXTRA_CONFIGS = [
     ("esm_ncc_hom8_frames_per_sec_per_chip", bench_esm_ncc),
-    ("pf500_ssim_hom8_frames_per_sec_per_chip", bench_pf500),
-    ("nn1k_ssd_hom8_frames_per_sec_per_chip", bench_nn1k),
+    ("pf500_fclm_ssim_hom8_frames_per_sec_per_chip", bench_pf500),
+    ("nn1k_iclm_mi_hom8_frames_per_sec_per_chip", bench_nn1k),
     ("rklt_ssd_hom8_frames_per_sec_per_chip", bench_rklt),
 ]

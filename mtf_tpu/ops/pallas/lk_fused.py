@@ -56,6 +56,16 @@ def _tile_of(n: int) -> int:
     return _TN
 
 
+def _chain_tile_of(n: int, hc: int) -> tuple[int, int]:
+    """(tile, band) for the chain kernel. Windows taller than 128 rows
+    force TN=1280 tiling so each tile is a y-banded slab (see
+    _chain_kernel); shorter windows keep the single-tile fast path with
+    band == hc (no dynamic slice)."""
+    if hc > 128 and n > _TN:
+        return _TN, 128
+    return _tile_of(n), hc
+
+
 def _kernel(kind, hc, wc, n_s, tn, x_ref, y_ref, sub_ref, jac_ref,
             templ_ref, val_ref, g_ref, h_ref):
     lo = 0.001 if kind == "linear" else 1.001
@@ -182,13 +192,21 @@ def lk_fused_gn_t(img: Array, ptsT: Array, jacT: Array, templ: Array,
     return val[:n], jnp.sum(g, axis=0), jnp.sum(h_, axis=0)
 
 
-def _chain_kernel(kind, hc, wc, n_s, rpad, tn, n_valid, sub_ref, a_ref,
-                  ph_ref, templ_ref, val_ref, g_ref, h_ref):
+def _chain_kernel(kind, hc, wc, n_s, rpad, tn, n_valid, band, sub_ref,
+                  a_ref, ph_ref, templ_ref, val_ref, g_ref, h_ref):
     """Whole LK iteration from the 3x3 warp algebra up: point projection,
     quotient-rule warp Jacobian, tap weights, MXU sampling contractions,
     SSD residual, g = J^T r and J^T J — no per-point tensor ever leaves
     VMEM. Inputs per tile: A ((8+3R, 3) stacked [M0; rows of M0 G_s]),
-    ph ((3, TN) homogeneous base points), templ, the cropped window."""
+    ph ((3, TN) homogeneous base points), templ, the cropped window.
+
+    `band` < hc activates y-banding: each point tile is a consecutive
+    row-major slab of the warped grid, so its y-extent is a narrow band
+    of the window (projective maps keep the slab inside its warped
+    corner quad). The sampling dots then contract a dynamically-sliced
+    (band, Wc) window row block: M = band = 128 exactly fills the MXU
+    row tiles, where M = hc = 144 padded to 256 wasted 44% of every
+    sampling dot (the dominant kernel cost at fleet scale)."""
     A = a_ref[0]                                            # (8+3R, 3)
     ph = ph_ref[0]                                          # (3, TN)
     Q = jax.lax.dot_general(A, ph, (((1,), (0,)), ((), ())),
@@ -203,19 +221,37 @@ def _chain_kernel(kind, hc, wc, n_s, rpad, tn, n_valid, sub_ref, a_ref,
     jx = (Qx - xr[None, :] * Qw) * winv[None, :]
     jy = (Qy - yr[None, :] * Qw) * winv[None, :]
 
+    # zero padded lanes (pad columns are (0,0,1) points with LIVE
+    # Jacobians — mask J so they contribute to neither g nor J^T J)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, tn), 1)[0, :]
+    live = lane + pl.program_id(1) * tn < n_valid
+
     lo = 0.001 if kind == "linear" else 1.001
     hix = (wc - 1.001) if kind == "linear" else (wc - 2.001)
-    hiy = (hc - 1.001) if kind == "linear" else (hc - 2.001)
+    if band < hc:
+        # band start: masked min of the tile's y coords (pad points
+        # project to y=0 and must not drag the band off the slab),
+        # aligned down to the bf16 sublane tile (16)
+        ymin = jnp.min(jnp.where(live, yr, jnp.float32(hc)))
+        y0i = jnp.floor(ymin).astype(jnp.int32) - 2
+        y0i = jnp.bitwise_and(jnp.clip(y0i, 0, hc - band), ~15)
+        y0i = pl.multiple_of(y0i, 16)
+        sub = sub_ref[0, pl.ds(y0i, band), :]               # (band, Wc)
+        y0f = y0i.astype(jnp.float32)
+    else:
+        sub = sub_ref[0, :, :]                              # (Hc, Wc) bf16
+        y0f = jnp.float32(0.0)
+    hiy = (band - 1.001) if kind == "linear" else (band - 2.001)
     x = jnp.clip(xr, lo, hix)
-    y = jnp.clip(yr, lo, hiy)
+    y = jnp.clip(yr - y0f, lo, hiy)
     kx = jax.lax.broadcasted_iota(jnp.int32, (wc, tn), 0).astype(jnp.float32)
     wxt, dpxt = _weights_dense(kx - x[None, :], kind)       # (Wc, TN)
-    ky = jax.lax.broadcasted_iota(jnp.int32, (hc, tn), 0).astype(jnp.float32)
-    wyt, dpyt = _weights_dense(ky - y[None, :], kind)       # (Hc, TN)
+    ky = jax.lax.broadcasted_iota(jnp.int32, (band, tn), 0).astype(
+        jnp.float32)
+    wyt, dpyt = _weights_dense(ky - y[None, :], kind)       # (band, TN)
 
-    sub = sub_ref[0, :, :]                                  # (Hc, Wc) bf16
     tmp = jnp.dot(sub, wxt.astype(jnp.bfloat16),
-                  preferred_element_type=jnp.float32)       # (Hc, TN)
+                  preferred_element_type=jnp.float32)       # (band, TN)
     tmp_dx = jnp.dot(sub, dpxt.astype(jnp.bfloat16),
                      preferred_element_type=jnp.float32)
     val = jnp.sum(wyt * tmp, axis=0)
@@ -224,11 +260,8 @@ def _chain_kernel(kind, hc, wc, n_s, rpad, tn, n_valid, sub_ref, a_ref,
     val_ref[0, 0, :] = val
 
     r = templ_ref[0, 0, :] - val
-    # zero padded lanes (pad columns are (0,0,1) points with LIVE
-    # Jacobians — mask J so they contribute to neither g nor J^T J)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, tn), 1)[0, :]
-    live = (lane + pl.program_id(1) * tn < n_valid).astype(jnp.float32)
-    Jm = (jx * dx[None, :] + jy * dy[None, :]) * live[None, :]  # (S, TN)
+    Jm = (jx * dx[None, :] + jy * dy[None, :]) * \
+        live.astype(jnp.float32)[None, :]                   # (S, TN)
     g = jnp.sum(Jm * r[None, :], axis=1, keepdims=True)
     g_ref[0, 0, 0, :] = g[:, 0]
     h_ref[0, 0, :, :] = jax.lax.dot_general(
@@ -243,7 +276,7 @@ def _chain_core_for(kind: str, n_s: int, n_valid: int,
         b, hc, wc = subs.shape
         n_pad = ph.shape[2]
         rpad = (A.shape[1] - 8) // 3
-        tn = _tile_of(n_pad)
+        tn, band = _chain_tile_of(n_pad, hc)
         t = n_pad // tn
         sub_blk = pl.BlockSpec((1, hc, wc), lambda i, j: (i, 0, 0),
                                memory_space=pltpu.VMEM)
@@ -259,7 +292,7 @@ def _chain_core_for(kind: str, n_s: int, n_valid: int,
                             memory_space=pltpu.VMEM)
         val, g, h = pl.pallas_call(
             functools.partial(_chain_kernel, kind, hc, wc, n_s, rpad, tn,
-                              n_valid),
+                              n_valid, band),
             grid=(b, t),
             in_specs=[sub_blk, ablk, phblk, vec],
             out_specs=(vec, gblk, hblk),
@@ -267,7 +300,7 @@ def _chain_core_for(kind: str, n_s: int, n_valid: int,
                        jax.ShapeDtypeStruct((b, t, 1, n_s), jnp.float32),
                        jax.ShapeDtypeStruct((b, t, n_s, n_s), jnp.float32)),
             cost_estimate=pl.CostEstimate(
-                flops=2 * 2 * b * n_pad * hc * wc, transcendentals=0,
+                flops=2 * 2 * b * n_pad * band * wc, transcendentals=0,
                 bytes_accessed=b * (hc * wc * 2 + n_pad * 4 * 5)),
             interpret=interpret,
         )(subs, A, ph, templ[:, None])
@@ -320,7 +353,7 @@ def lk_fused_chain(img: Array, M0: Array, gens: Array, ph: Array,
             C[b, :, 8 + b * rpad + s, :] = gens_np[s]
     A = (M0.reshape(9) @ jnp.asarray(C.reshape(9, rows * 3))
          ).reshape(rows, 3)
-    tile = _tile_of(n)
+    tile, _ = _chain_tile_of(n, img.shape[0])
     if n % tile != 0:
         pad = ((n + tile - 1) // tile) * tile - n
         # pad with (0, 0, 1) points: finite projection, masked residual

@@ -112,15 +112,19 @@ class ShardedPF(PF):
                                              P_total)
 
             # 1-2. propagate + measure on the local slice (the hot part)
-            prop_loc, log_lik_loc = self._propagate_measure(
+            prop_loc, log_lik_loc, valid_loc = self._propagate_measure(
                 state, frame, prop_keys, particles, prev, loc(sig_p),
                 am_loc)
 
             # gather the tiny per-particle tables; everything below runs
-            # replicated and identical to PF._finish
+            # replicated and identical to PF._finish (the crop-window
+            # mask applies on the GLOBAL population — same any() result
+            # on every shard)
             gather = lambda x: jax.lax.all_gather(x, ax, tiled=True)  # noqa: E731
             prop = gather(prop_loc)
-            log_w = gather(log_w_prev) + gather(log_lik_loc)
+            log_lik = self._apply_window_mask(gather(log_lik_loc),
+                                              gather(valid_loc))
+            log_w = gather(log_w_prev) + log_lik
             log_w = log_w - jax.scipy.special.logsumexp(log_w)
 
             (prop, prev_out, am_out, log_w, new_dlw, mean_state,

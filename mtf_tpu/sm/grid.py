@@ -96,8 +96,16 @@ class GridTracker(SearchMethod):
     def _track_patches(self, frame, norm_mat, pts_base, templates, n_iters):
         """pts_base: (P, n, 2) per-patch template-frame sampling points;
         returns the (P, 2) 2-DOF corrections. One fused computation:
-        (P, n) gathers + closed-form 2x2 solves."""
+        (P, n) gathers + closed-form 2x2 solves. With a "<kind>_mm"
+        interp the per-patch gathers collapse into one dense MXU
+        contraction over a shared crop window per iteration (all P*n
+        points as tap-weight rows — the TPU-native form; the reference
+        runs P independent sub-trackers in a TBB parallel-for,
+        GridTracker.cc:247-261)."""
         g = self.grid
+        if self.prm.interp.endswith("_mm") and frame.ndim == 2:
+            return self._track_patches_mm(frame, norm_mat, pts_base,
+                                          templates, n_iters)
 
         def one_patch(base, template):
             def body(_, disp):
@@ -122,6 +130,45 @@ class GridTracker(SearchMethod):
                                      jnp.zeros(2, jnp.float32))
 
         return jax.vmap(one_patch)(pts_base, templates)
+
+    def _track_patches_mm(self, frame, norm_mat, pts_base, templates,
+                          n_iters):
+        """Dense-matmul variant of `_track_patches`: identical math (same
+        ZNCC residual, same damped 2x2 solve) with the sampling of ALL
+        patches fused into one value+grad dense contraction per
+        iteration. The P per-patch fori_loops become one joint loop (the
+        patches never interact, so the iteration order is equivalent)."""
+        from mtf_tpu.ops.linalg import solve2x2
+        g, prm = self.grid, self.prm
+        P, n = pts_base.shape[0], pts_base.shape[1]
+        kind = prm.interp[:-3]
+        scale = norm_mat[0, 0]
+        cdt = jnp.bfloat16 if prm.interp_bf16 else None
+
+        def body(_, disp):
+            pts = W.apply_warp(
+                norm_mat, (pts_base + disp[:, None, :]).reshape(-1, 2))
+            val, (dx, dy) = interp.sample_dense(
+                frame, pts, kind, crop=prm.crop, need_grad=True,
+                _stack=False, compute_dtype=cdt)
+            C = val.shape[-1]
+            patch = val.reshape(P, n, C)
+            if g.zncc:
+                patch = _standardize(patch)
+            r = (patch - templates).reshape(P, n * C)
+            Jx = dx.reshape(P, n * C) * scale
+            Jy = dy.reshape(P, n * C) * scale
+            H = jnp.stack([
+                jnp.stack([jnp.sum(Jx * Jx, -1) + 1e-6,
+                           jnp.sum(Jx * Jy, -1)], -1),
+                jnp.stack([jnp.sum(Jx * Jy, -1),
+                           jnp.sum(Jy * Jy, -1) + 1e-6], -1)], -2)
+            b = jnp.stack([jnp.sum(Jx * r, -1), jnp.sum(Jy * r, -1)], -1)
+            d = jax.vmap(solve2x2)(H, b)
+            return disp - d
+
+        return jax.lax.fori_loop(0, n_iters, body,
+                                 jnp.zeros((P, 2), jnp.float32))
 
     def _pyr_frames(self, frame):
         """Image pyramid, level 0 = full resolution (static level count)."""

@@ -90,6 +90,50 @@ class PF(SearchMethod):
         pts = W.apply_warp(region.norm_mat, pts_t)
         return interp.sample(frame, pts, self.prm.interp, self.prm.border)
 
+    def _particle_patches(self, region, states, frame):
+        """(P, N, C) patches + (P,) in-window validity for the particle
+        population.
+
+        With a "<kind>_mm" interp the per-particle patch loop
+        (NT/PF.cc:261) collapses into ONE dense MXU contraction over a
+        shared crop window: all P*N warped points build tap-weight rows
+        against the same dynamic-sliced image window, so the TPU never
+        issues a gather. The window is anchored at the point-cloud
+        CENTER (outlier particles must not drag the window off the
+        bulk), and any particle with points outside it is flagged
+        invalid — `_apply_window_mask` gives those -inf log-likelihood
+        rather than scoring them on edge-clamped garbage. The gather
+        path remains the non-_mm fallback (always valid)."""
+        P = states.shape[0]
+        pts_t = jax.vmap(
+            lambda s: self.ssm.warp_pts(s, region.base_pts))(states)
+        pts = W.apply_warp(region.norm_mat, pts_t.reshape(-1, 2))
+        prm = self.prm
+        ok = jnp.ones((P,), bool)
+        if prm.interp.endswith("_mm") and frame.ndim == 2:
+            h, w = frame.shape
+            crop = prm.crop
+            if crop is not None and (crop < h or crop < w):
+                hc, wc = min(crop, h), min(crop, w)
+                cx = 0.5 * (jnp.min(pts[:, 0]) + jnp.max(pts[:, 0]))
+                cy = 0.5 * (jnp.min(pts[:, 1]) + jnp.max(pts[:, 1]))
+                x0 = jnp.clip(jnp.floor(cx - 0.5 * wc), 0.0, float(w - wc))
+                y0 = jnp.clip(jnp.floor(cy - 0.5 * hc), 0.0, float(h - hc))
+                sub = jax.lax.dynamic_slice(
+                    frame, (y0.astype(jnp.int32), x0.astype(jnp.int32)),
+                    (hc, wc))
+                pts = pts - jnp.stack([x0, y0])
+                in_w = ((pts[:, 0] >= 0.0) & (pts[:, 0] <= wc - 1.0)
+                        & (pts[:, 1] >= 0.0) & (pts[:, 1] <= hc - 1.0))
+                ok = jnp.all(in_w.reshape(P, -1), axis=1)
+                frame = sub
+            val, _ = interp.sample_dense(
+                frame, pts, prm.interp[:-3], crop=None, need_grad=False,
+                compute_dtype=jnp.bfloat16 if prm.interp_bf16 else None)
+        else:
+            val = interp.sample(frame, pts, prm.interp, prm.border)
+        return val.reshape(P, -1, val.shape[-1]), ok
+
     def _log_lik(self, am_state, patch, p_am=None):
         st = (am_state if p_am is None or p_am.shape[-1] == 0
               else am_state._replace(p_am=p_am))
@@ -182,12 +226,22 @@ class PF(SearchMethod):
             prop = jax.vmap(lambda k, s, sg: ssm.random_walk(
                 k, s, sg, compositional))(prop_keys, particles, sig_p)
 
-        patches = jax.vmap(
-            lambda s: self._particle_patch(state.region, s, frame))(prop)
+        patches, valid = self._particle_patches(state.region, prop, frame)
         log_lik = jax.vmap(
             lambda p, pa: self._log_lik(state.am_state, p, pa))(
                 patches, am_prop)
-        return prop, log_lik
+        return prop, log_lik, valid
+
+    @staticmethod
+    def _apply_window_mask(log_lik, valid):
+        """Particles outside the dense-sampling crop window were scored
+        on edge-clamped pixels — treat them as impossible (unless the
+        WHOLE population left the window, in which case keep the raw
+        scores so the filter degrades gracefully rather than
+        collapsing). Applied on the full population so sharded ==
+        unsharded exactly (ShardedPF all_gathers `valid` first)."""
+        return jnp.where(jnp.any(valid),
+                         jnp.where(valid, log_lik, -1e30), log_lik)
 
     def _update(self, state: TrackerState, frame: Array) -> TrackerState:
         ssm, am, pf = self.ssm, self.am, self.pf
@@ -208,9 +262,10 @@ class PF(SearchMethod):
         d_idx, sig_p = self._draw_sigmas(k_distr, ps.distr_log_w, sigma, P)
 
         # 1-2. propagate + measure
-        prop, log_lik = self._propagate_measure(
+        prop, log_lik, valid = self._propagate_measure(
             state, frame, prop_keys, ps.particles, ps.prev_particles,
             sig_p, am_prop)
+        log_lik = self._apply_window_mask(log_lik, valid)
 
         log_w = ps.log_weights + log_lik
         log_w = log_w - jax.scipy.special.logsumexp(log_w)
@@ -223,7 +278,8 @@ class PF(SearchMethod):
                             log_weights=log_w, key=key,
                             distr_log_w=new_dlw, am_particles=am_prop)
         new_state = state._replace(ssm_state=mean_state, extra=new_extra)
-        patch = self._particle_patch(state.region, mean_state, frame)
+        patch = self._particle_patches(state.region, mean_state[None, :],
+                                       frame)[0][0]
         return new_state._replace(
             am_state=am.update_model(am_state, patch))
 
