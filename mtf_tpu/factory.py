@@ -47,6 +47,8 @@ def _sm_params(cfg: dict) -> SMParams:
         use_pallas=(None if cfg.get("use_pallas") is None
                     else bool(cfg.get("use_pallas"))),
         interp_bf16=bool(cfg.get("interp_bf16", False)),
+        coarse_pt_iters=tuple(
+            (int(s), int(n)) for s, n in cfg.get("coarse_pt_iters", ())),
         hess_type=str(cfg.get("hess_type", "selft")),
         jac_type=str(cfg.get("jac_type", "original")),
         enable_lm=bool(cfg.get("enable_lm", False)),
@@ -164,10 +166,19 @@ def create_tracker(sm: str = "fclk", am: str = "ssd", ssm: str = "8",
     if sm_key in CF_REGISTRY:
         return get_cf_tracker(sm_key, **cfg)
 
+    # native learning/detection trackers (reference ThirdParty class —
+    # RCT compressive tracking etc.; sm/learn.py)
+    from mtf_tpu.sm.learn import LEARN_REGISTRY, get_learn_tracker
+    if sm_key in LEARN_REGISTRY:
+        return get_learn_tracker(sm_key, **cfg)
+
     # remaining third-party keys route like the reference factory
-    # (mtf.h:935 -> 1978): bundled-tracker keys bypass the AM/SSM machinery
+    # (mtf.h:935 -> 1978): bundled-tracker keys bypass the AM/SSM
+    # machinery. Keys with native TPU implementations below (MedianFlow,
+    # compressive tracking, Struck) are intercepted like dsst/kcf.
+    _native_third_party = {"mf", "rct"}
     from mtf_tpu.third_party import get_third_party, is_third_party
-    if is_third_party(sm_key):
+    if is_third_party(sm_key) and sm_key not in _native_third_party:
         return get_third_party(sm_key)
 
     prm = _sm_params(cfg)
@@ -296,6 +307,17 @@ def create_tracker(sm: str = "fclk", am: str = "ssd", ssm: str = "8",
     # tracker (mtf.h:748-803): "flow"/"cv" -> the batched-LK flow grid
     # (pyramidal for "cv", GridTrackerCV.cc), anything else -> a vmapped
     # grid of that SM (general GridTracker, GridTracker.cc:247-269)
+    # MedianFlow (Kalal et al. — the reference's bundled TLD tracker
+    # core, ThirdParty/TLD): frame-to-frame pyramidal grid flow with
+    # forward-backward masking fused by the pairwise-median similarity
+    if sm_key in ("mf", "mflow", "medianflow"):
+        gp = _grid_params(cfg, "median")
+        gp = replace(
+            gp, flow="f2f",
+            fb_err_px=float(cfg.get("grid_fb_err", 2.0)),
+            pyramid_levels=int(cfg.get("grid_pyramid_levels", 3)))
+        return GridTracker(make_am(), make_ssm(), prm, gp)
+
     if sm_key in ("grid", "lms", "ransac", "rnsc"):
         est = {"lms": "lmeds", "ransac": "ransac", "rnsc": "ransac",
                "grid": None}[sm_key]

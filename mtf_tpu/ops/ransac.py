@@ -93,5 +93,31 @@ def robust_fit(ssm, src, dst, key, method: str = "ransac",
         return ransac_fit(ssm, src, dst, key, n_hyps, inlier_thresh, weights)
     if method in ("lmeds", "least_median"):
         return lmeds_fit(ssm, src, dst, key, n_hyps, weights)
+    if method in ("median", "medianflow"):
+        return median_flow_fit(ssm, src, dst, weights)
     w = weights if weights is not None else jnp.ones(src.shape[0], src.dtype)
     return ssm.fit_pts(src, dst, weights=w), w
+
+
+def median_flow_fit(ssm, src, dst, weights: Array | None = None):
+    """Median-Flow similarity estimate (Kalal et al., ICPR'10 — the
+    tracker core of the reference's bundled TLD, `ThirdParty/TLD`):
+    scale = median over point pairs of ||dst_i-dst_j|| / ||src_i-src_j||,
+    translation = median of (dst - scale * src) per axis. `weights` (the
+    forward-backward mask) excludes unreliable points from both medians
+    via NaN-median. Returns (ssm_state fit on the similarity-transformed
+    corners, weights-as-inliers)."""
+    n = src.shape[0]
+    w = weights if weights is not None else jnp.ones((n,), src.dtype)
+    ok = w > 0.5
+    pair_ok = ok[:, None] & ok[None, :] & ~jnp.eye(n, dtype=bool)
+    d_src = jnp.linalg.norm(src[:, None, :] - src[None, :, :], axis=-1)
+    d_dst = jnp.linalg.norm(dst[:, None, :] - dst[None, :, :], axis=-1)
+    ratio = jnp.where(pair_ok, d_dst / jnp.maximum(d_src, 1e-8), jnp.nan)
+    s = jnp.nan_to_num(jnp.nanmedian(ratio), nan=1.0)
+    t = dst - s * src
+    tx = jnp.nan_to_num(jnp.nanmedian(jnp.where(ok, t[:, 0], jnp.nan)))
+    ty = jnp.nan_to_num(jnp.nanmedian(jnp.where(ok, t[:, 1], jnp.nan)))
+    trans = jnp.stack([tx, ty])
+    state = ssm.fit_pts(src, s * src + trans[None, :])
+    return state, w

@@ -66,6 +66,18 @@ class SMParams:
                                    # opts non-fusable configs into the
                                    # Pallas sampling kernel
     interp_bf16: bool = False      # bf16 MXU contractions for _mm sampling
+    coarse_pt_iters: tuple = ()    # coarse-to-fine POINT decimation for
+                                   # the fused LK path: ((stride, n), ...)
+                                   # runs n GN iterations on the
+                                   # stride-decimated template grid
+                                   # (N/stride^2 points) before the
+                                   # full-resolution remainder of
+                                   # max_iters. The GN fixed point is set
+                                   # by the final full-res iterations, so
+                                   # accuracy is preserved while early
+                                   # iterations cost ~1/stride^2
+                                   # (pyramid-in-N; cf. the reference's
+                                   # resolution pyramid)
     hess_type: str = "self0"       # self0 | selft | std | std2 (ESMParams.h:13-18)
     jac_type: str = "original"     # original | diff_of_jacs (ESM)
     enable_lm: bool = False        # Levenberg-Marquardt damping w/ rollback

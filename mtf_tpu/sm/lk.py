@@ -25,6 +25,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from mtf_tpu.am.base import AMState
 from mtf_tpu.ops import interp
@@ -54,6 +55,13 @@ class LKCache(NamedTuple):
     NT/ICLK.cc:initialize)."""
     J0: Array       # (NC, S) template pixel Jacobian at identity
     H0: Array       # (Q, Q) initial self Hessian
+    coarse: tuple = ()  # per-coarse-phase (templ_s, H0_s): template and
+                        # self0 Hessian sampled from the BLURRED init
+                        # frame at the decimated grid
+                        # (SMParams.coarse_pt_iters, fused path only).
+                        # Both sides of the coarse SSD share the same
+                        # pixel-unit binomial kernel, so the coarse
+                        # optimum coincides with the full one.
 
 
 class _LKCarry(NamedTuple):
@@ -198,6 +206,39 @@ class LKBase(SearchMethod):
         cols = jax.vmap(hvp, in_axes=1, out_axes=1)(J)
         return J.T @ cols
 
+    @staticmethod
+    def _coarse_idx(ry: int, rx: int, stride: int):
+        """Row-major indices of the stride-decimated (ry, rx) point
+        grid (static)."""
+        r = np.arange(0, ry, stride)
+        c = np.arange(0, rx, stride)
+        return jnp.asarray((r[:, None] * rx + c[None, :]).ravel())
+
+    @staticmethod
+    def _binomial(stride: int):
+        """Binomial low-pass taps (STATIC numpy — must never enter a
+        trace) for a stride-decimated phase (sigma ~ stride/2)."""
+        k = np.array([1.0], np.float64)
+        for _ in range(2 * (stride - 1)):
+            k = np.convolve(k, [0.5, 0.5])
+        return k.astype(np.float32)
+
+    @classmethod
+    def _blur2(cls, img: Array, stride: int) -> Array:
+        """Separable edge-padded binomial blur (2D, any float dtype).
+        Static shift-adds, NOT convolve: the slices fuse into one
+        elementwise chain (a vmapped convolve lowers to a serial loop
+        and measured ~1.5x on the whole fleet update)."""
+        if stride <= 1:
+            return img
+        k = np.asarray(cls._binomial(stride), np.float32)
+        r = (k.shape[0] - 1) // 2
+        h, w = img.shape
+        f = jnp.pad(img.astype(jnp.float32), ((r, r), (r, r)), mode="edge")
+        fh = sum(float(k[i]) * f[:, i:i + w] for i in range(len(k)))
+        fv = sum(float(k[j]) * fh[j:j + h, :] for j in range(len(k)))
+        return fv.astype(img.dtype)
+
     # -- init ----------------------------------------------------------
     def _init_extra(self, state: TrackerState, frame: Array):
         # template-side patch + Jacobian at identity warp / identity ILM
@@ -206,7 +247,32 @@ class LKBase(SearchMethod):
             state.region, self.ssm.identity(),
             self.am.ilm.identity_params(), frame)
         H0 = self._hess_contract(state.am_state, patch0, J_full)
-        return LKCache(J0=J_full[:, : self.ssm.dof], H0=H0)
+        S = self.ssm.dof
+        coarse = ()
+        if self.prm.coarse_pt_iters:
+            # per-phase blurred templates + self0 Hessians on the
+            # decimated grids; the fused path is SSD/grayscale so the GN
+            # self-Hessian is -J^T J and the decimated g = J_s^T r_s
+            # pairs with -J_s^T J_s. Cached at init (learning_rate must
+            # be 0 or the cached templates would go stale).
+            ry, rx = self.am.prm.resy, self.am.prm.resx
+            n = state.region.base_pts.shape[0]
+            c_ch = patch0.shape[1] if patch0.ndim == 2 else 1
+            if (c_ch == 1 and n == ry * rx and self.am.name == "ssd"
+                    and self.am.ilm.n_params == 0
+                    and self.am.prm.learning_rate == 0.0
+                    and frame.ndim == 2):
+                packs = []
+                for stride, _ in self.prm.coarse_pt_iters:
+                    idx = self._coarse_idx(ry, rx, stride)
+                    fr_b = self._blur2(frame, stride)
+                    p_b, J_b = self._patch_and_jac(
+                        state.region, self.ssm.identity(),
+                        self.am.ilm.identity_params(), fr_b)
+                    Js = J_b[:, :S][idx]
+                    packs.append((p_b.reshape(-1)[idx], -(Js.T @ Js)))
+                coarse = tuple(packs)
+        return LKCache(J0=J_full[:, :S], H0=H0, coarse=coarse)
 
     # -- fused-kernel fast path (FCLK + SSD + self0 + grayscale) --------
     def _fused_ok(self, state: TrackerState, frame: Array) -> bool:
@@ -244,10 +310,13 @@ class LKBase(SearchMethod):
         S = ssm.dof
         region = state.region
         n = region.base_pts.shape[0]
-        # ph is loop-invariant: _update precomputes it outside the
-        # iteration loop (fenv); rebuilt here only on direct calls
-        ph = fenv if fenv is not None else jnp.concatenate(
-            [region.base_pts.T, jnp.ones((1, n), jnp.float32)])  # (3, N)
+        # fenv = (ph, templ, H0) is loop-invariant: _update precomputes
+        # it outside the iteration loop (and swaps in decimated packs
+        # during coarse_pt_iters phases); rebuilt only on direct calls
+        ph, templ_ov, h0_ov = fenv if fenv is not None else (None,) * 3
+        if ph is None:
+            ph = jnp.concatenate(
+                [region.base_pts.T, jnp.ones((1, n), jnp.float32)])  # (3, N)
         M0 = region.norm_mat @ ssm.to_matrix(carry.ssm_state)
         frame_w = frame
         if offset is not None:
@@ -271,13 +340,17 @@ class LKBase(SearchMethod):
                 (hc, wc))
             offs3 = jnp.stack([x0, y0, jnp.zeros((), x0.dtype)])
             M0 = M0 - offs3[:, None] * M0[2][None, :]
-        templ = state.am_state.template.reshape(-1)
+        templ = (templ_ov if templ_ov is not None
+                 else state.am_state.template.reshape(-1))
         val, j, jtj = lk_fused_chain(frame_w, M0, ssm.generators, ph,
                                      templ, prm.interp[:-3],
                                      interpret=not _tpu_compute())
         # SSD: selft == std == -J^T J at the current J (d2f/dI2 = -I);
         # self0 is the cached template-J Hessian
-        H = state.extra.H0 if prm.hess_type == "self0" else -jtj
+        if prm.hess_type == "self0":
+            H = h0_ov if h0_ov is not None else state.extra.H0
+        else:
+            H = -jtj
         damp = carry.lm_delta if prm.enable_lm else 0.0
         Hd = H - damp * jnp.diag(jnp.abs(jnp.diag(H))) \
                - 1e-7 * jnp.eye(S, dtype=H.dtype)
@@ -428,8 +501,9 @@ class LKBase(SearchMethod):
         frame_f32 = frame_eff
         if self._fused_ok(state, frame_eff):
             base = state.region.base_pts
-            fenv = jnp.concatenate(
+            ph_full = jnp.concatenate(
                 [base.T, jnp.ones((1, base.shape[0]), jnp.float32)])
+            fenv = (ph_full, None, None)
             if not prm.enable_lm and frame_eff.ndim == 2:
                 frame_eff = frame_eff.astype(jnp.bfloat16)
 
@@ -447,9 +521,11 @@ class LKBase(SearchMethod):
             return jnp.logical_and(c.it < prm.max_iters,
                                    jnp.logical_not(c.done))
 
-        def body(c: _LKCarry):
-            dq, patch, j = self._iteration(state, frame_eff, c, offset,
-                                           fenv)
+        def body(c: _LKCarry, fenv_b=None, frame_b=None):
+            dq, patch, j = self._iteration(
+                state, frame_b if frame_b is not None else frame_eff,
+                c, offset,
+                fenv_b if fenv_b is not None else fenv)
             new_ssm, new_pam = self._apply_dq(c.ssm_state, c.p_am, dq)
             corner_change = jnp.max(jnp.linalg.norm(
                 corners_of(new_ssm) - corners_of(c.ssm_state), axis=-1))
@@ -474,7 +550,40 @@ class LKBase(SearchMethod):
                         jnp.zeros((), jnp.int32), jnp.asarray(False),
                         jnp.asarray(prm.lm_delta0, jnp.float32),
                         jnp.asarray(f0, jnp.float32))
-        out = jax.lax.while_loop(cond, body, init)
+        # coarse-to-fine point-decimation phases (SMParams.coarse_pt_iters):
+        # early GN iterations on the stride-decimated grid at ~1/stride^2
+        # cost, then the full-resolution remainder of max_iters sets the
+        # converged fixed point
+        carry = init
+        phases = ()
+        if (fenv is not None and prm.coarse_pt_iters and not prm.enable_lm
+                and getattr(state.extra, "coarse", ())):
+            phases = tuple(zip(prm.coarse_pt_iters, state.extra.coarse))
+        if phases:
+            ry, rx = am.prm.resy, am.prm.resx
+            it_hi = 0
+            for (stride, n_it), (templ_s, h0s) in phases:
+                idx = self._coarse_idx(ry, rx, stride)
+                # anti-aliased pyramid-in-N: the window is low-passed
+                # with the SAME pixel-unit binomial kernel the cached
+                # phase template was sampled through (raw subsampling
+                # aliases fine texture and destabilizes the coarse GN
+                # steps at large motion; mismatched blurs shift the
+                # coarse optimum)
+                frame_s = (self._blur2(frame_eff, stride)
+                           if frame_eff.ndim == 2 else frame_eff)
+                fenv_s = (fenv[0][:, idx], templ_s, h0s)
+                it_hi = min(it_hi + int(n_it), prm.max_iters)
+
+                def cond_s(c, hi=it_hi):
+                    return jnp.logical_and(c.it < hi,
+                                           jnp.logical_not(c.done))
+
+                def body_s(c, fe=fenv_s, fr=frame_s):
+                    return body(c, fe, fr)
+
+                carry = jax.lax.while_loop(cond_s, body_s, carry)
+        out = jax.lax.while_loop(cond, body, carry)
 
         new_am = state.am_state._replace(p_am=out.p_am)
         new_state = state._replace(ssm_state=out.ssm_state, am_state=new_am)

@@ -1,0 +1,107 @@
+"""Native learning/detection trackers (sm/learn.py RCT, MedianFlow via
+the grid median estimator) + the coarse-to-fine point-decimation LK
+schedule (SMParams.coarse_pt_iters)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import mtf_tpu
+from mtf_tpu.utils import synth
+
+
+def _scene(seed=0, h=240, w=320):
+    rng = np.random.default_rng(seed)
+    img = np.cumsum(np.cumsum(rng.normal(0, 1, (h, w)), 0), 1)
+    img = (img - img.min()) / (img.max() - img.min()) * 255.0
+    return jnp.asarray(img, jnp.float32)
+
+
+CORNERS0 = np.array([[110, 80], [210, 80], [210, 160], [110, 160]],
+                    np.float32)
+
+
+def _track(trk, frames, gt):
+    state = trk.initialize(frames[0], jnp.asarray(gt[0]))
+    errs = []
+    for i in range(1, len(frames)):
+        state = trk.update(state, frames[i])
+        c = np.asarray(trk.corners(state)).T
+        errs.append(float(np.mean(np.linalg.norm(c - gt[i], axis=-1))))
+    return errs
+
+
+def test_rct_tracks_translation():
+    """Compressive tracking recovers a translating target (RCT is a
+    coarse classifier tracker: a few px of error is in-family)."""
+    trk = mtf_tpu.create_tracker("rct", "ssd", "2")
+    from mtf_tpu.ssm import get_ssm
+    frames, gt = synth.synthetic_sequence(
+        _scene(), CORNERS0, get_ssm("2"), n_frames=8,
+        sigma_scale=0.01, seed=3)
+    errs = _track(trk, frames, gt)
+    assert np.mean(errs) < 3.0, errs
+
+
+def test_rct_state_is_pytree():
+    trk = mtf_tpu.create_tracker("rct", "ssd", "2")
+    st = trk.initialize(_scene(), jnp.asarray(CORNERS0))
+    leaves = jax.tree_util.tree_leaves(st)
+    assert all(isinstance(x, jax.Array) for x in leaves)
+    # jittable update
+    st2 = jax.jit(trk.update)(st, _scene())
+    assert np.all(np.isfinite(np.asarray(st2.mu_pos)))
+
+
+def test_medianflow_tracks_similarity():
+    trk = mtf_tpu.create_tracker("mf", "ssd", "4")
+    frames, gt = synth.synthetic_sequence(
+        _scene(), CORNERS0, trk.ssm, n_frames=8, sigma_scale=0.01, seed=3)
+    errs = _track(trk, frames, gt)
+    assert np.mean(errs) < 2.5, errs
+
+
+def test_median_flow_fit_robust_to_outliers():
+    """Pairwise-median similarity fit: exact on inliers, immune to 30%
+    gross outliers (the Kalal median property)."""
+    from mtf_tpu.ops import ransac
+    from mtf_tpu.ssm import get_ssm
+    rng = np.random.default_rng(0)
+    src = jnp.asarray(rng.uniform(-0.5, 0.5, (30, 2)), jnp.float32)
+    s_true, t_true = 1.15, np.array([0.07, -0.04], np.float32)
+    dst = np.array(s_true * np.asarray(src) + t_true)
+    dst[:9] += rng.uniform(0.3, 0.6, (9, 2))  # gross outliers
+    w = np.ones(30, np.float32)
+    w[:9] = 0.0
+    ssm = get_ssm("4")
+    state, _ = ransac.median_flow_fit(ssm, src, jnp.asarray(dst),
+                                      jnp.asarray(w))
+    rec = np.asarray(ssm.warp_pts(state, src))
+    exact = s_true * np.asarray(src) + t_true
+    assert np.max(np.abs(rec - exact)) < 1e-3
+
+
+@pytest.mark.parametrize("phases", [((2, 6),), ((4, 5), (2, 3))])
+def test_coarse_pt_iters_matches_full(phases):
+    """Anti-aliased point-decimation phases track within a hair of the
+    full-resolution schedule on moderate motion (and the corner diff
+    stays sub-0.1px)."""
+    def run(kw):
+        trk = mtf_tpu.create_tracker(
+            "fclk", "ssd", "8", resx=50, resy=50, max_iters=10,
+            epsilon=0.0, interp="linear_mm", crop=144, use_pallas=True,
+            **kw)
+        frames, gt = synth.synthetic_sequence(
+            _scene(), CORNERS0, trk.ssm, n_frames=5,
+            sigma_scale=0.015, seed=3)
+        state = trk.initialize(frames[0], jnp.asarray(gt[0]))
+        cs = []
+        for i in range(1, len(frames)):
+            state = trk.update(state, frames[i])
+            cs.append(np.asarray(trk.corners(state)).T)
+        return np.asarray(cs)
+
+    c_full = run({})
+    c_coarse = run(dict(coarse_pt_iters=phases))
+    assert np.max(np.abs(c_full - c_coarse)) < 0.1, \
+        np.max(np.abs(c_full - c_coarse))
