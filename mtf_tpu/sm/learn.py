@@ -215,11 +215,193 @@ class RCT:
         return self.initialize(frame, corners_img)
 
 
-LEARN_REGISTRY = {"rct": RCT}
+@dataclass(frozen=True)
+class StruckParams:
+    """ThirdParty/Struck `Config` analog (Struck/src/Config.cpp — the
+    raw-feature + Gaussian-kernel configuration)."""
+    res: int = 16            # raw-feature patch resolution (16x16 = 256-d)
+    search: int = 8          # shift radius in feature-frame px
+    budget: int = 64         # support-vector budget (svmBudgetSize)
+    C: float = 100.0         # SVM slack (svmC)
+    kernel_sigma: float = 1.0  # Gaussian kernel bandwidth (on unit-norm
+                               # features — raw smooth imagery needs a
+                               # sharp kernel or F is near-flat)
+    n_new: int = 3           # hard-negative ProcessNew rounds per frame
+    n_opt: int = 4           # Optimize reprocess passes per frame
+    seed: int = 0
+
+
+class StruckState(NamedTuple):
+    center: Array   # (2,) xy
+    base_sz: Array  # (2,)
+    sv_x: Array     # (B, D) support-vector features
+    sv_beta: Array  # (B,) dual coefficients
+    sv_pos: Array   # (B,) 1.0 where the SV entered as a positive
+    sv_valid: Array  # (B,) slot occupancy
+    key: Array
+
+
+class Struck:
+    """Structured-output SVM tracking with budget maintenance (Hare et
+    al., ICCV'11). Online LaRank reduced to its TPU-friendly core: per
+    frame one ProcessNew SMO step on the (true-location, hardest
+    negative) pair plus `n_opt` Optimize passes over the support set;
+    eviction overwrites the smallest-|beta| slot. Structured loss is
+    1 - IoU of the shifted bboxes (the paper's loss)."""
+
+    name = "strk"
+    ssm = None  # bbox tracker
+
+    def __init__(self, prm: StruckParams | None = None):
+        self.prm = prm or StruckParams()
+
+    # -- features ---------------------------------------------------------
+    def _cand_feats(self, frame, center, sz):
+        """(S, D) unit-norm raw features for every candidate shift."""
+        p = self.prm
+        span = p.res + 2 * p.search
+        wsz = sz * (span / p.res)
+        win = _grab(frame, center, wsz, span)               # (span, span)
+        patches = jax.lax.conv_general_dilated_patches(
+            win[None, None, :, :], (p.res, p.res), (1, 1), "VALID")
+        # -> (1, res*res, n_sh, n_sh)
+        n_sh = 2 * p.search + 1
+        f = patches[0].reshape(p.res * p.res, n_sh * n_sh).T  # (S, D)
+        f = f - jnp.mean(f, axis=1, keepdims=True)
+        return f / (jnp.linalg.norm(f, axis=1, keepdims=True) + 1e-6)
+
+    def _shift_grid(self):
+        r = self.prm.search
+        d = jnp.arange(-r, r + 1, dtype=jnp.float32)
+        dy, dx = jnp.meshgrid(d, d, indexing="ij")
+        return jnp.stack([dx.ravel(), dy.ravel()], axis=-1)  # (S, 2) xy
+
+    def _loss(self):
+        """(S,) structured loss 1 - IoU(shifted bbox, true bbox) in the
+        feature frame (res x res boxes)."""
+        p = self.prm
+        sh = self._shift_grid()
+        ov = jnp.maximum(p.res - jnp.abs(sh), 0.0)          # (S, 2)
+        inter = ov[:, 0] * ov[:, 1]
+        union = 2.0 * p.res * p.res - inter
+        return 1.0 - inter / union
+
+    def _kernel(self, a, b):
+        """Gaussian kernel matrix exp(-sigma * ||a - b||^2)."""
+        d2 = (jnp.sum(a * a, -1)[:, None] + jnp.sum(b * b, -1)[None, :]
+              - 2.0 * a @ b.T)
+        return jnp.exp(-self.prm.kernel_sigma * jnp.maximum(d2, 0.0))
+
+    def _F(self, st: StruckState, x):
+        """Discriminant F(x) = sum_i beta_i k(x_i, x) for (S, D) x."""
+        k = self._kernel(st.sv_x, x)                        # (B, S)
+        return (st.sv_beta * st.sv_valid) @ k               # (S,)
+
+    # -- SMO --------------------------------------------------------------
+    def _smo_pair(self, st: StruckState, xp, xn, gp, gn, cap_p):
+        """One SMO step on a (pos, neg) feature pair with gradients
+        g = -loss - F (LaRank; Struck.cpp:SMOStep). Returns lambda."""
+        kpp = 1.0
+        knn = 1.0
+        kpn = self._kernel(xp[None], xn[None])[0, 0]
+        denom = jnp.maximum(kpp + knn - 2.0 * kpn, 1e-8)
+        lam = jnp.clip((gp - gn) / denom, 0.0, cap_p)
+        return lam
+
+    def _add_sv(self, st: StruckState, x, dbeta, is_pos):
+        """Write an SV into the smallest-|beta| (or free) slot."""
+        score = jnp.where(st.sv_valid > 0.5,
+                          jnp.abs(st.sv_beta), -1.0)
+        slot = jnp.argmin(score)
+        return st._replace(
+            sv_x=st.sv_x.at[slot].set(x),
+            sv_beta=st.sv_beta.at[slot].set(dbeta),
+            sv_pos=st.sv_pos.at[slot].set(is_pos),
+            sv_valid=st.sv_valid.at[slot].set(1.0))
+
+    # -- TrackerBase contract --------------------------------------------
+    def initialize(self, frame, corners_img) -> StruckState:
+        p = self.prm
+        center, sz = _center_size_of(corners_img)
+        D = p.res * p.res
+        st = StruckState(center=center, base_sz=sz,
+                         sv_x=jnp.zeros((p.budget, D)),
+                         sv_beta=jnp.zeros((p.budget,)),
+                         sv_pos=jnp.zeros((p.budget,)),
+                         sv_valid=jnp.zeros((p.budget,)),
+                         key=jax.random.PRNGKey(p.seed))
+        return self._learn(st, frame)
+
+    def _learn(self, st: StruckState, frame) -> StruckState:
+        """ProcessNew at the current center + Optimize passes."""
+        p = self.prm
+        feats = self._cand_feats(frame, st.center, st.base_sz)
+        loss = self._loss()
+        ipos = jnp.argmin(loss)                              # center shift
+        xp = feats[ipos]
+        # hard-negative mining: each round re-scores the candidates with
+        # the grown support set and SMO-steps against the current
+        # hardest negative (single-pair LaRank leaves F near-flat on
+        # smooth imagery)
+        for _ in range(p.n_new):
+            F = self._F(st, feats)
+            g = -loss - F                                    # (S,)
+            ineg = jnp.argmin(g)
+            xn = feats[ineg]
+            lam = self._smo_pair(st, xp, xn, g[ipos], g[ineg], p.C)
+            st = self._add_sv(st, xp, lam, 1.0)
+            st = self._add_sv(st, xn, -lam, 0.0)
+
+        # Optimize: re-balance an existing pos/neg SV pair (LaRank
+        # Optimize; keeps the dual feasible as the model drifts)
+        def opt(st, _):
+            kmat = self._kernel(st.sv_x, st.sv_x)
+            Fsv = (st.sv_beta * st.sv_valid) @ kmat          # (B,)
+            gsv = -(1.0 - st.sv_pos) - Fsv                   # loss 0/1 proxy
+            vp = st.sv_valid * st.sv_pos
+            vn = st.sv_valid * (1.0 - st.sv_pos)
+            ip = jnp.argmax(jnp.where(vp > 0.5, gsv, -1e30))
+            im = jnp.argmin(jnp.where(vn > 0.5, gsv, 1e30))
+            kpn = kmat[ip, im]
+            denom = jnp.maximum(kmat[ip, ip] + kmat[im, im] - 2 * kpn,
+                                1e-8)
+            lam = jnp.clip((gsv[ip] - gsv[im]) / denom,
+                           -jnp.abs(st.sv_beta[im]), p.C)
+            beta = st.sv_beta.at[ip].add(lam).at[im].add(-lam)
+            return st._replace(sv_beta=beta), None
+
+        st, _ = jax.lax.scan(opt, st, None, length=p.n_opt)
+        return st
+
+    def update(self, st: StruckState, frame) -> StruckState:
+        p = self.prm
+        feats = self._cand_feats(frame, st.center, st.base_sz)
+        scores = self._F(st, feats)
+        best = jnp.argmax(scores)
+        step = st.base_sz / p.res
+        center = st.center + self._shift_grid()[best] * step
+        st = st._replace(center=center)
+        return self._learn(st, frame)
+
+    def corners(self, st: StruckState) -> Array:
+        return _corners_of(st.center, st.base_sz).T
+
+    def set_region(self, st: StruckState, corners_img,
+                   frame=None) -> StruckState:
+        center, sz = _center_size_of(corners_img)
+        return st._replace(center=center, base_sz=sz)
+
+    def reinitialize(self, frame, corners_img) -> StruckState:
+        return self.initialize(frame, corners_img)
+
+
+LEARN_REGISTRY = {"rct": RCT, "strk": Struck, "struck": Struck}
 
 
 def get_learn_tracker(key: str, **cfg):
     key = key.lower()
-    fields = {f for f in RCTParams.__dataclass_fields__}
-    prm = RCTParams(**{k: v for k, v in cfg.items() if k in fields})
-    return LEARN_REGISTRY[key](prm)
+    cls = LEARN_REGISTRY[key]
+    prm_cls = RCTParams if cls is RCT else StruckParams
+    fields = {f for f in prm_cls.__dataclass_fields__}
+    prm = prm_cls(**{k: v for k, v in cfg.items() if k in fields})
+    return cls(prm)

@@ -1,0 +1,71 @@
+"""Same-session sweep: fleet width B and PF crop under the new coarse
+schedule / dense paths."""
+if __name__ != "__main__":
+    raise ImportError("one-off benchmark driver; run as a script")
+import json
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, "/root/repo")
+from mtf_tpu import create_tracker  # noqa: E402
+from mtf_tpu.parallel import TrackerFleet, make_mesh  # noqa: E402
+
+
+def scene(seed=0, h=480, w=640):
+    rng = np.random.default_rng(seed)
+    img = np.cumsum(np.cumsum(rng.normal(0, 1, (h, w)), 0), 1)
+    img = (img - img.min()) / (img.max() - img.min()) * 255.0
+    return jnp.asarray(img, jnp.float32)
+
+
+def corners_batch(Bn, seed=1):
+    rng = np.random.default_rng(seed)
+    out = []
+    for _ in range(Bn):
+        cx, cy = rng.uniform(120, 520), rng.uniform(100, 380)
+        s = rng.uniform(30, 60)
+        out.append([[cx - s, cy - s], [cx + s, cy - s],
+                    [cx + s, cy + s], [cx - s, cy + s]])
+    return np.asarray(out, np.float32)
+
+
+def fleet_fps(sm, B, steps=20):
+    mesh = make_mesh({"tracker": 1}, devices=[jax.devices()[0]])
+    fleet = TrackerFleet(sm, mesh)
+    frame0 = scene(0)
+    states = fleet.initialize(frame0, corners_batch(B))
+    for _ in range(3):
+        states = fleet.update(states, frame0)
+    jax.block_until_ready(states)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        states = fleet.update(states, frame0)
+    jax.block_until_ready(states)
+    return B * steps / (time.perf_counter() - t0)
+
+
+HEAD = dict(resx=50, resy=50, max_iters=10, epsilon=0.0,
+            interp="linear_mm", crop=144, coarse_pt_iters=((4, 5), (2, 3)))
+
+for tag, args, kw, B in [
+    ("head-B256", ("fclk", "ssd", "8"), HEAD, 256),
+    ("head-B384", ("fclk", "ssd", "8"), HEAD, 384),
+    ("head-B512", ("fclk", "ssd", "8"), HEAD, 512),
+    ("pf500-mm224-B32", ("pf500", "ssim", "8"),
+     dict(resx=25, resy=25, max_iters=1, interp="linear_mm", crop=224), 32),
+    ("pf500-mm256-B64", ("pf500", "ssim", "8"),
+     dict(resx=25, resy=25, max_iters=1, interp="linear_mm", crop=256), 64),
+]:
+    t0 = time.perf_counter()
+    try:
+        fps = fleet_fps(create_tracker(*args, **kw), B)
+        print(json.dumps({"config": tag, "fps": round(fps, 1),
+                          "wall_s": round(time.perf_counter() - t0, 1)}),
+              flush=True)
+    except Exception as e:
+        print(json.dumps({"config": tag, "error": repr(e)[:300]}),
+              flush=True)

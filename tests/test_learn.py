@@ -53,6 +53,27 @@ def test_rct_state_is_pytree():
     assert np.all(np.isfinite(np.asarray(st2.mu_pos)))
 
 
+def test_struck_tracks_translation():
+    """Structured-output SVM keeps hold of a translating target (lite
+    LaRank: budgeted hard-negative SMO; coarse-tracker error family)."""
+    trk = mtf_tpu.create_tracker("strk", "ssd", "2")
+    from mtf_tpu.ssm import get_ssm
+    frames, gt = synth.synthetic_sequence(
+        _scene(), CORNERS0, get_ssm("2"), n_frames=8,
+        sigma_scale=0.01, seed=7)
+    errs = _track(trk, frames, gt)
+    assert np.mean(errs) < 3.0, errs
+
+
+def test_struck_budget_bounded():
+    trk = mtf_tpu.create_tracker("strk", "ssd", "2", budget=16)
+    st = trk.initialize(_scene(), jnp.asarray(CORNERS0))
+    for _ in range(4):
+        st = trk.update(st, _scene())
+    assert st.sv_x.shape[0] == 16
+    assert np.all(np.isfinite(np.asarray(st.sv_beta)))
+
+
 def test_medianflow_tracks_similarity():
     trk = mtf_tpu.create_tracker("mf", "ssd", "4")
     frames, gt = synth.synthetic_sequence(
