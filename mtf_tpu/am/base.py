@@ -148,6 +148,13 @@ class AM:
             return state
         return state._replace(p_am=state.p_am + dp_am)
 
+    @property
+    def needs_update_model(self) -> bool:
+        """False when update_model is a no-op — lets hot paths skip
+        sampling the final patch entirely (a measurable per-update cost
+        at fleet scale)."""
+        return self.prm.learning_rate > 0.0
+
     def update_model(self, state: AMState, patch: Array) -> AMState:
         """Online template learning (`updateModel`, AppearanceModel.h:261).
         Default: exponential forgetting on the raw template."""

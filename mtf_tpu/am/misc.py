@@ -86,6 +86,10 @@ class PCA(AM):
         proj = basis.T @ r
         return -0.5 * (jnp.sum(r * r) - jnp.sum(proj * proj))
 
+    @property
+    def needs_update_model(self) -> bool:
+        return True  # PCA always collects patches for the subspace refit
+
     def update_model(self, state: AMState, patch):
         """Collect the patch; every batch_size frames refit mean+basis by
         SVD over the buffer (reference incremental update semantics)."""
@@ -152,6 +156,10 @@ class SumOfAMs(AM):
     def dist_feat(self, patch):
         return jnp.concatenate([self.am1.dist_feat(patch),
                                 self.am2.dist_feat(patch)])
+
+    @property
+    def needs_update_model(self) -> bool:
+        return (self.am1.needs_update_model or self.am2.needs_update_model)
 
     def update_model(self, state, patch):
         s1, s2 = state.extra

@@ -484,6 +484,15 @@ class LKBase(SearchMethod):
                               0.0, float(w - wc))
                 y0 = jnp.clip(jnp.floor(jnp.min(pts0[:, 1])) - 2.0,
                               0.0, float(h - hc))
+                # NOTE (r3 trace A/Bs): this batched-start
+                # dynamic_slice lowers to a serial per-tracker loop
+                # (~0.65 ms/update at B=256) but it still WINS — the
+                # take-based two-gather form cost 0.70 ms of
+                # gather+select+copy fusions, and a per-tracker Pallas
+                # DMA-crop kernel (aligned window + dynamic lane roll)
+                # measured -15% fleet fps: its (B,) grid serializes
+                # un-pipelined DMA latency and rolls 4.4x the bytes
+                # (tpu.dynamic_rotate is 32-bit only)
                 starts = (y0.astype(jnp.int32), x0.astype(jnp.int32))
                 if frame.ndim == 3:
                     frame_eff = jax.lax.dynamic_slice(
@@ -527,6 +536,12 @@ class LKBase(SearchMethod):
                 c, offset,
                 fenv_b if fenv_b is not None else fenv)
             new_ssm, new_pam = self._apply_dq(c.ssm_state, c.p_am, dq)
+            if prm.epsilon <= 0.0 and not prm.enable_lm:
+                # fixed-iteration mode: the convergence test is dead
+                # code, and its two 4-corner warps + norm reductions are
+                # real fusion barriers per iteration at fleet scale
+                return _LKCarry(new_ssm, new_pam, c.it + 1, c.done,
+                                c.lm_delta, c.f_prev)
             corner_change = jnp.max(jnp.linalg.norm(
                 corners_of(new_ssm) - corners_of(c.ssm_state), axis=-1))
             if prm.enable_lm:
@@ -587,6 +602,10 @@ class LKBase(SearchMethod):
 
         new_am = state.am_state._replace(p_am=out.p_am)
         new_state = state._replace(ssm_state=out.ssm_state, am_state=new_am)
+        if not am.needs_update_model:
+            # skip the final-patch sampling entirely (0.23 ms/update at
+            # B=256 fleet scale when the template never learns)
+            return new_state
         # online template learning (PCA etc., NT/FCLK.cc:353)
         fn = self._patch_fn(state.region, out.ssm_state, out.p_am,
                             frame_f32, offset)

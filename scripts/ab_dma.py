@@ -1,0 +1,67 @@
+"""Same-session A/B: self-cropping DMA chain kernel vs XLA-cropped chain
+kernel, headline coarse-schedule config."""
+if __name__ != "__main__":
+    raise ImportError("one-off benchmark driver; run as a script")
+import json
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, "/root/repo")
+import mtf_tpu.ops.pallas.lk_fused as lkf  # noqa: E402
+from mtf_tpu import create_tracker  # noqa: E402
+from mtf_tpu.parallel import TrackerFleet, make_mesh  # noqa: E402
+
+RES, B = 50, 256
+
+
+def scene(seed=0, h=480, w=640):
+    rng = np.random.default_rng(seed)
+    img = np.cumsum(np.cumsum(rng.normal(0, 1, (h, w)), 0), 1)
+    img = (img - img.min()) / (img.max() - img.min()) * 255.0
+    return jnp.asarray(img, jnp.float32)
+
+
+def corners_batch(Bn, seed=1):
+    rng = np.random.default_rng(seed)
+    out = []
+    for _ in range(Bn):
+        cx, cy = rng.uniform(120, 520), rng.uniform(100, 380)
+        s = rng.uniform(30, 60)
+        out.append([[cx - s, cy - s], [cx + s, cy - s],
+                    [cx + s, cy + s], [cx - s, cy + s]])
+    return np.asarray(out, np.float32)
+
+
+def run(tag):
+    sm = create_tracker("fclk", "ssd", "8", resx=RES, resy=RES,
+                        max_iters=10, epsilon=0.0,
+                        interp="linear_mm", crop=144,
+                        coarse_pt_iters=((4, 5), (2, 3)))
+    mesh = make_mesh({"tracker": 1}, devices=[jax.devices()[0]])
+    fleet = TrackerFleet(sm, mesh)
+    frame0 = scene(0)
+    states = fleet.initialize(frame0, corners_batch(B))
+    for _ in range(3):
+        states = fleet.update(states, frame0)
+    jax.block_until_ready(states)
+    t0 = time.perf_counter()
+    for _ in range(20):
+        states = fleet.update(states, frame0)
+    jax.block_until_ready(states)
+    fps = B * 20 / (time.perf_counter() - t0)
+    states = fleet.update(states, scene(0))
+    c = np.asarray(jax.vmap(lambda s: sm.corners(s))(states))
+    print(json.dumps({"variant": tag, "fps": round(fps, 1)}), flush=True)
+    return c
+
+
+lkf.CHAIN_DMA = False
+c0 = run("xla-crop")
+lkf.CHAIN_DMA = True
+c1 = run("dma-crop")
+print(json.dumps({"corner_diff_px": float(np.max(np.abs(c1 - c0)))}),
+      flush=True)
