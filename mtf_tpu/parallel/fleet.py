@@ -56,6 +56,9 @@ class TrackerFleet:
     def update(self, states, frame: Array):
         """One fleet step on a shared frame (multi-object tracking)."""
         if self._upd is None:
+            # NOTE: no donate_argnums — the evaluation protocols
+            # (reinit/reset, run_mtf fleet mode) legitimately reuse the
+            # pre-update states, and donation only measured ~+2%
             fn = jax.vmap(self.sm.update, in_axes=(0, None))
             if self.mesh is None:
                 self._upd = jax.jit(fn)
