@@ -24,19 +24,22 @@ import time
 
 import numpy as np
 
+# budgets ~3-6x the observed errors (r3 run: fclk 0.014 max, mi 0.42,
+# pf500 0.28, nn1k 2.05, ransac 0.65, rklt 0.011) so the suite actually
+# regress-guards parity rather than merely passing
 BUDGETS_PX = {
-    "fclk/ssd/2": 0.5,
-    "iclk/ncc/8": 1.0,
-    "esm/ncc/8": 1.0,
-    "pyr-esm/ncc/8": 1.0,
-    "fclm/mi/8": 1.5,
-    "fclm/ccre/8": 1.5,
-    "pf500/ssd/2": 3.0,
-    "nn1k/ssd/4": 3.0,
+    "fclk/ssd/2": 0.25,
+    "iclk/ncc/8": 0.5,
+    "esm/ncc/8": 0.5,
+    "pyr-esm/ncc/8": 0.5,
+    "fclm/mi/8": 1.0,
+    "fclm/ccre/8": 1.0,
+    "pf500/ssd/2": 1.5,
+    "nn1k/ssd/4": 2.5,
     # bare grid+RANSAC localization (chained-warp pyramidal patch flow);
     # RKLT refines it to ~0.01px
     "ransac/ssd/8": 1.5,
-    "rklt/ncc/8": 1.0,
+    "rklt/ncc/8": 0.5,
 }
 
 

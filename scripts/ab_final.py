@@ -1,5 +1,5 @@
-"""Same-session A/B: coarse-to-fine point decimation on the headline
-fleet (FCLK/SSD/hom8 50x50, B=256, crop=144)."""
+"""Same-session A/B of final headline bench configs: B and dispatch
+chunking under the ((4,5),(2,4)) coarse schedule."""
 if __name__ != "__main__":
     raise ImportError("one-off benchmark driver; run as a script")
 import json
@@ -13,8 +13,6 @@ import jax.numpy as jnp
 sys.path.insert(0, "/root/repo")
 from mtf_tpu import create_tracker  # noqa: E402
 from mtf_tpu.parallel import TrackerFleet, make_mesh  # noqa: E402
-
-RES, B = 50, 256
 
 
 def scene(seed=0, h=480, w=640):
@@ -35,32 +33,36 @@ def corners_batch(Bn, seed=1):
     return np.asarray(out, np.float32)
 
 
-def run(tag, kw):
-    sm = create_tracker("fclk", "ssd", "8", resx=RES, resy=RES,
+def run(tag, B, chunk):
+    sm = create_tracker("fclk", "ssd", "8", resx=50, resy=50,
                         max_iters=10, epsilon=0.0,
-                        interp="linear_mm", crop=144, **kw)
+                        interp="linear_mm", crop=144,
+                        coarse_pt_iters=((4, 5), (2, 4)))
     mesh = make_mesh({"tracker": 1}, devices=[jax.devices()[0]])
     fleet = TrackerFleet(sm, mesh)
     frame0 = scene(0)
     states = fleet.initialize(frame0, corners_batch(B))
-    for _ in range(3):
-        states = fleet.update(states, frame0)
+    steps = 20
+    if chunk > 1:
+        frames = jnp.stack([frame0] * chunk)
+        states = fleet.update_chunk(states, frames)
+        jax.block_until_ready(states)
+        t0 = time.perf_counter()
+        for _ in range(steps // chunk):
+            states = fleet.update_chunk(states, frames)
+    else:
+        for _ in range(3):
+            states = fleet.update(states, frame0)
+        jax.block_until_ready(states)
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            states = fleet.update(states, frame0)
     jax.block_until_ready(states)
-    t0 = time.perf_counter()
-    for _ in range(20):
-        states = fleet.update(states, frame0)
-    jax.block_until_ready(states)
-    fps = B * 20 / (time.perf_counter() - t0)
-    states = fleet.update(states, scene(0))
-    c = np.asarray(jax.vmap(lambda s: sm.corners(s))(states))
+    fps = B * steps / (time.perf_counter() - t0)
     print(json.dumps({"variant": tag, "fps": round(fps, 1)}), flush=True)
-    return c
 
 
-c0 = run("full-10", {})
-for tag, phases in [("c4x5-2x3", ((4, 5), (2, 3))),
-                    ("c4x5-2x4", ((4, 5), (2, 4)))]:
-    c1 = run(tag, dict(coarse_pt_iters=phases))
-    print(json.dumps({"variant": tag,
-                      "corner_diff_px": float(np.max(np.abs(c1 - c0)))}),
-          flush=True)
+run("B256", 256, 1)
+run("B256-chunk4", 256, 4)
+run("B512-chunk4", 512, 4)
+run("B512", 512, 1)
