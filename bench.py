@@ -24,7 +24,9 @@ import time
 import numpy as np
 
 RES = 50            # reference default resx=resy=50
-B = 256             # fleet width per chip (throughput saturates ~here)
+B = 1024            # fleet width per chip (r3 sweep: 46.6k fps at 256,
+                    # 53.1k at 512, 54.6k at 1024 — the cheaper coarse-
+                    # schedule update amortizes fixed costs at width)
 WARMUP = 3
 STEPS = 20
 BASELINE_CACHE = os.path.join(os.path.dirname(__file__), "log",
@@ -99,7 +101,7 @@ def _measure_chip():
     sm = create_tracker("fclk", "ssd", "8", resx=RES, resy=RES,
                         max_iters=10, epsilon=0.0,
                         interp="linear_mm", crop=144,
-                        coarse_pt_iters=((4, 5), (2, 3)))
+                        coarse_pt_iters=((4, 5), (2, 4)))
     fleet = TrackerFleet(sm, mesh)
 
     frame0 = _scene(0)

@@ -23,6 +23,13 @@ def chol_solve_small(A: Array, b: Array, jitter: float = 0.0) -> Array:
     S = A.shape[-1]
     if jitter:
         A = A + jitter * jnp.eye(S, dtype=A.dtype)
+    if S > 12:
+        # the unrolled form emits O(S^3) scalar equations — at spline
+        # DOFs (50+) that is a ~40k-equation jaxpr and a multi-GB,
+        # multi-minute XLA CPU compile (r3 postmortem: one test held a
+        # 20 GB compile for >1 h). High-DOF solves use the LAPACK/XLA
+        # custom call; the unrolled win only matters at GN state dims.
+        return jnp.linalg.solve(A, b)
     # scalar-register form: every entry is its own traced scalar and the
     # whole factorization + substitutions become ONE fusable elementwise
     # chain. The previous matrix-carry form (.at[].set per column) cost

@@ -62,7 +62,6 @@ def run(tag, B, chunk):
     print(json.dumps({"variant": tag, "fps": round(fps, 1)}), flush=True)
 
 
-run("B256", 256, 1)
-run("B256-chunk4", 256, 4)
-run("B512-chunk4", 512, 4)
 run("B512", 512, 1)
+run("B768", 768, 1)
+run("B1024", 1024, 1)
