@@ -114,6 +114,14 @@ class NN(SearchMethod):
     def _patch_at(self, region, s, frame):
         pts_t = self.ssm.warp_pts(s, region.base_pts)
         pts = W.apply_warp(region.norm_mat, pts_t)
+        if self.prm.interp.endswith("_mm") and frame.ndim == 2:
+            # dense-matmul sampling MUST be crop-windowed here: the
+            # dataset build maps this over K samples x fleet vmap, and
+            # full-frame tap weights OOM at (B, chunk, N, H) scale
+            val, _ = interp.sample_dense(
+                frame, pts, self.prm.interp[:-3],
+                crop=self.prm.crop or 192, need_grad=False)
+            return val
         return interp.sample(frame, pts, self.prm.interp, self.prm.border)
 
     def _feat_at(self, region, s, frame):
@@ -136,9 +144,12 @@ class NN(SearchMethod):
         K = self.nn.n_samples
         dps = self._draw_dps(state)
 
+        # bounded memory: smaller chunks for the dense-mm path whose
+        # per-sample crop windows still multiply under a fleet vmap
+        bs = 64 if self.prm.interp.endswith("_mm") else 256
         feats = jax.lax.map(
             lambda dp: self._feat_at(state.region, dp, frame), dps,
-            batch_size=min(K, 256))  # bounded memory
+            batch_size=min(K, bs))
         # if the current patch matches the template viewed under dp, the
         # state correction is dp^-1 (reference inverts the perturbations at
         # dataset build, NN.cc generateDataset) — store the inverses
