@@ -92,16 +92,16 @@ def _measure_chip():
     # chip (9.9k fps vs 9.2k at 192, 6.9k at 128) and covers the largest
     # fleet patch (~120 px span) with margin
     # coarse_pt_iters: anti-aliased coarse-to-fine point decimation —
-    # 5 GN iterations on the 13x13 grid + 3 on 25x25 + 2 full 50x50.
-    # Same-session A/B vs 10 full iterations: +84% fps, corner diff
-    # <=0.26px on the fleet, and STRICTLY better tracking at large
+    # 6 GN iterations on the 13x13 grid + 3 on 25x25 + 1 full 50x50.
+    # Same-session A/Bs vs 10 full iterations: ~2.4x fps, corner diff
+    # <=0.3px on the fleet, and STRICTLY better tracking at large
     # inter-frame motion (pyramid basin; see tests/test_learn.py and
     # CLAUDE.md r3 notes). The C++ denominator runs the reference's own
     # fixed-10 full-resolution schedule.
     sm = create_tracker("fclk", "ssd", "8", resx=RES, resy=RES,
                         max_iters=10, epsilon=0.0,
                         interp="linear_mm", crop=144,
-                        coarse_pt_iters=((4, 5), (2, 4)))
+                        coarse_pt_iters=((4, 6), (2, 3)))
     fleet = TrackerFleet(sm, mesh)
 
     frame0 = _scene(0)

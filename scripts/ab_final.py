@@ -62,6 +62,28 @@ def run(tag, B, chunk):
     print(json.dumps({"variant": tag, "fps": round(fps, 1)}), flush=True)
 
 
-run("B512", 512, 1)
-run("B768", 768, 1)
-run("B1024", 1024, 1)
+import itertools
+def run2(tag, B, phases):
+    sm = create_tracker("fclk", "ssd", "8", resx=50, resy=50,
+                        max_iters=10, epsilon=0.0,
+                        interp="linear_mm", crop=144,
+                        coarse_pt_iters=phases)
+    mesh = make_mesh({"tracker": 1}, devices=[jax.devices()[0]])
+    fleet = TrackerFleet(sm, mesh)
+    frame0 = scene(0)
+    states = fleet.initialize(frame0, corners_batch(B))
+    for _ in range(3):
+        states = fleet.update(states, frame0)
+    jax.block_until_ready(states)
+    t0 = time.perf_counter()
+    for _ in range(20):
+        states = fleet.update(states, frame0)
+    jax.block_until_ready(states)
+    print(json.dumps({"variant": tag,
+                      "fps": round(B * 20 / (time.perf_counter() - t0), 1)}),
+          flush=True)
+
+run2("B1024-cur", 1024, ((4, 5), (2, 4)))
+run2("B1536-cur", 1536, ((4, 5), (2, 4)))
+run2("B1024-s463", 1024, ((4, 6), (2, 3)))
+run2("B1024-s472", 1024, ((4, 7), (2, 2)))

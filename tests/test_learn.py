@@ -102,7 +102,7 @@ def test_median_flow_fit_robust_to_outliers():
     assert np.max(np.abs(rec - exact)) < 1e-3
 
 
-@pytest.mark.parametrize("phases", [((2, 6),), ((4, 5), (2, 3))])
+@pytest.mark.parametrize("phases", [((2, 6),), ((4, 6), (2, 3))])
 def test_coarse_pt_iters_matches_full(phases):
     """Anti-aliased point-decimation phases track within a hair of the
     full-resolution schedule on moderate motion (and the corner diff
