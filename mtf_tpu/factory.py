@@ -176,7 +176,7 @@ def create_tracker(sm: str = "fclk", am: str = "ssd", ssm: str = "8",
     # (mtf.h:935 -> 1978): bundled-tracker keys bypass the AM/SSM
     # machinery. Keys with native TPU implementations below (MedianFlow,
     # compressive tracking, Struck) are intercepted like dsst/kcf.
-    _native_third_party = {"mf", "rct", "strk"}
+    _native_third_party = {"mf", "rct", "strk", "dft"}
     from mtf_tpu.third_party import get_third_party, is_third_party
     if is_third_party(sm_key) and sm_key not in _native_third_party:
         return get_third_party(sm_key)
@@ -307,6 +307,15 @@ def create_tracker(sm: str = "fclk", am: str = "ssd", ssm: str = "8",
     # tracker (mtf.h:748-803): "flow"/"cv" -> the batched-LK flow grid
     # (pyramidal for "cv", GridTrackerCV.cc), anything else -> a vmapped
     # grid of that SM (general GridTracker, GridTracker.cc:247-269)
+    # Descriptor-Fields tracking (ThirdParty/DFT): a registration SM on
+    # the 4-channel gradient-field transform of the frame
+    if sm_key == "dft":
+        from mtf_tpu.sm.learn import DFT
+        inner = create_tracker(str(cfg.get("dft_sm", "esm")), "ssd", ssm,
+                               ilm, **{k: v for k, v in cfg.items()
+                                       if k != "dft_sm"})
+        return DFT(inner, sigma=float(cfg.get("dft_sigma", 1.5)))
+
     # MedianFlow (Kalal et al. — the reference's bundled TLD tracker
     # core, ThirdParty/TLD): frame-to-frame pyramidal grid flow with
     # forward-backward masking fused by the pairwise-median similarity

@@ -395,6 +395,43 @@ class Struck:
         return self.initialize(frame, corners_img)
 
 
+class DFT:
+    """Descriptor-Fields tracking (Crivellaro & Lepetit, CVPR'14 — the
+    reference's `ThirdParty/DFT`, 2941 LoC): any registration SM run on
+    the 4-channel smoothed positive/negative-gradient transform of the
+    frame (utils.preproc.descriptor_fields). Robust to illumination and
+    specular changes; here it composes the existing multi-channel LK
+    machinery instead of reimplementing its own GN loop."""
+
+    name = "dft"
+
+    def __init__(self, inner, sigma: float = 1.5):
+        self.inner = inner
+        self.ssm = inner.ssm
+        self.am = inner.am
+        self.prm = inner.prm
+        self.sigma = float(sigma)
+
+    def _tf(self, frame):
+        from mtf_tpu.utils.preproc import descriptor_fields
+        return descriptor_fields(frame, self.sigma)
+
+    def initialize(self, frame, corners_img):
+        return self.inner.initialize(self._tf(frame), corners_img)
+
+    def update(self, state, frame):
+        return self.inner.update(state, self._tf(frame))
+
+    def corners(self, state):
+        return self.inner.corners(state)
+
+    def set_region(self, state, corners_img, frame=None):
+        return self.inner.set_region(state, corners_img)
+
+    def reinitialize(self, frame, corners_img):
+        return self.initialize(frame, corners_img)
+
+
 LEARN_REGISTRY = {"rct": RCT, "strk": Struck, "struck": Struck}
 
 

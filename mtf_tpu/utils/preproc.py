@@ -77,6 +77,24 @@ def sobel_filter(frame: Array) -> Array:
     return jnp.sqrt(gx * gx + gy * gy)
 
 
+def descriptor_fields(frame: Array, sigma: float = 1.5) -> Array:
+    """Descriptor Fields (Crivellaro & Lepetit, CVPR'14 — the method the
+    reference bundles as `ThirdParty/DFT`, 2941 LoC): the image gradient
+    split into its positive/negative x/y parts, each Gaussian-smoothed —
+    a 4-channel representation whose SSD alignment is robust to strong
+    illumination changes and specularities. Tracking DFT = any LK SM on
+    this (H, W, 4) frame (the multi-channel AM machinery)."""
+    g = to_gray(frame) if frame.ndim == 3 else frame
+    kx = jnp.asarray([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], jnp.float32) / 8.0
+    gx = _conv2(g, kx)
+    gy = _conv2(g, kx.T)
+    parts = [jnp.maximum(gx, 0.0), jnp.maximum(-gx, 0.0),
+             jnp.maximum(gy, 0.0), jnp.maximum(-gy, 0.0)]
+    size = int(2 * round(2 * sigma) + 1)
+    sm = [gaussian_filter(p, size=size, sigma=sigma) for p in parts]
+    return jnp.stack(sm, axis=-1)
+
+
 def bilateral_filter(frame: Array, size: int = 5, sigma_s: float = 2.0,
                      sigma_r: float = 25.0) -> Array:
     squeeze = frame.ndim == 2
@@ -134,6 +152,7 @@ PREPROC_REGISTRY = {
     "aniso": lambda f: anisotropic_diffusion(to_gray(f)),
     "sobel": lambda f: sobel_filter(to_gray(f)),
     "hist_eq": lambda f: hist_equalize(to_gray(f)),
+    "dft": descriptor_fields,
 }
 
 

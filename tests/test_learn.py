@@ -82,6 +82,28 @@ def test_medianflow_tracks_similarity():
     assert np.mean(errs) < 2.5, errs
 
 
+def test_dft_illumination_robustness():
+    """Descriptor-Fields tracking shrugs off an abrupt gain+offset
+    illumination change that breaks plain intensity SSD."""
+    from mtf_tpu.ssm import get_ssm
+    ssm = get_ssm("8")
+    frames, gt = synth.synthetic_sequence(
+        _scene(), CORNERS0, ssm, n_frames=8, sigma_scale=0.015, seed=3)
+    frames = [jnp.clip(f * 1.4 + 18.0, 0, 255) if i >= 4 else f
+              for i, f in enumerate(frames)]
+
+    def final_err(key):
+        trk = mtf_tpu.create_tracker(key, "ssd", "8", resx=40, resy=40,
+                                     max_iters=30)
+        errs = _track(trk, frames, gt)
+        return max(errs[3:])
+
+    e_dft = final_err("dft")
+    e_ssd = final_err("esm")
+    assert e_dft < 1.0, e_dft
+    assert e_dft < 0.5 * e_ssd, (e_dft, e_ssd)
+
+
 def test_median_flow_fit_robust_to_outliers():
     """Pairwise-median similarity fit: exact on inliers, immune to 30%
     gross outliers (the Kalal median property)."""
