@@ -176,7 +176,7 @@ def create_tracker(sm: str = "fclk", am: str = "ssd", ssm: str = "8",
     # (mtf.h:935 -> 1978): bundled-tracker keys bypass the AM/SSM
     # machinery. Keys with native TPU implementations below (MedianFlow,
     # compressive tracking, Struck) are intercepted like dsst/kcf.
-    _native_third_party = {"mf", "rct", "strk", "dft"}
+    _native_third_party = {"mf", "rct", "strk", "dft", "frg"}
     from mtf_tpu.third_party import get_third_party, is_third_party
     if is_third_party(sm_key) and sm_key not in _native_third_party:
         return get_third_party(sm_key)

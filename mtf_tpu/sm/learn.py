@@ -14,6 +14,13 @@ every other SM.
   one integral image (the rect geometry is drawn at construction, so
   every slice is compile-time — no gathers), and all candidate shifts
   are scored in one (shifts, K) tensor op.
+- Struck (Hare et al., ICCV'11): budgeted structured-output SVM; per
+  frame hard-negative LaRank SMO rounds + Optimize passes, kernel
+  evaluations as masked matmuls over a fixed support buffer.
+- FragTrack (Adam et al., CVPR'06): fragments-based integral-histogram
+  voting with a robust quantile score.
+- DFT (Crivellaro & Lepetit, CVPR'14): descriptor-fields transform
+  composed with the multi-channel LK machinery.
 
 Axis-aligned-bbox learners (like the reference adapters); the bbox is
 reported as a 4-corner region.
@@ -395,6 +402,107 @@ class Struck:
         return self.initialize(frame, corners_img)
 
 
+@dataclass(frozen=True)
+class FragParams:
+    """ThirdParty/FRG `Fragments_Tracker` analog (Adam et al., CVPR'06)."""
+    res: int = 40            # template resolution (feature frame)
+    search: int = 10         # shift radius (feature-frame px)
+    n_bins: int = 16         # grayscale histogram bins
+    frag_grid: int = 4       # frag_grid^2 template fragments
+    quantile: float = 0.25   # robust vote: this quantile of fragment
+                             # distances scores a candidate
+
+
+class FragState(NamedTuple):
+    center: Array       # (2,) xy
+    base_sz: Array      # (2,)
+    templ_hists: Array  # (F, n_bins) per-fragment template histograms
+
+
+class FragTrack:
+    """Fragments-based tracking with integral histograms (the reference's
+    `ThirdParty/FRG`, 2504 LoC). Every candidate shift scores every
+    template fragment by the L1 distance between area-normalized
+    grayscale histograms; the robust 25%-quantile of fragment distances
+    (occlusion tolerance — a minority of occluded fragments cannot veto
+    the vote) picks the new position. TPU form: per-bin indicator planes
+    -> ONE 2-D cumsum integral histogram -> every (fragment, shift)
+    histogram is a static 4-corner slice combination; the whole vote is
+    a (F, S, bins) tensor expression with no gathers."""
+
+    name = "frg"
+    ssm = None  # bbox tracker
+
+    def __init__(self, prm: FragParams | None = None):
+        self.prm = prm or FragParams()
+        p = self.prm
+        f = p.res // p.frag_grid
+        self._rects = [(iy * f, ix * f, f, f)
+                       for iy in range(p.frag_grid)
+                       for ix in range(p.frag_grid)]
+
+    def _bin_planes(self, win):
+        """(H+1, W+1, n_bins) integral histogram of a grayscale patch."""
+        p = self.prm
+        edges = jnp.linspace(0.0, 255.0, p.n_bins + 1)[1:-1]
+        idx = jnp.searchsorted(edges, win)                  # (H, W)
+        planes = (idx[..., None] ==
+                  jnp.arange(p.n_bins)[None, None, :]).astype(jnp.float32)
+        ii = jnp.cumsum(jnp.cumsum(planes, 0), 1)
+        return jnp.pad(ii, ((1, 0), (1, 0), (0, 0)))
+
+    def _frag_hists(self, ii, n_sh):
+        """(F, n_sh*n_sh, n_bins) area-normalized fragment histograms at
+        every candidate shift (static slices of the integral hist)."""
+        hists = []
+        for (y, x, h, w) in self._rects:
+            s = (ii[y + h:y + h + n_sh, x + w:x + w + n_sh]
+                 - ii[y + h:y + h + n_sh, x:x + n_sh]
+                 - ii[y:y + n_sh, x + w:x + w + n_sh]
+                 + ii[y:y + n_sh, x:x + n_sh]) / float(h * w)
+            hists.append(s.reshape(-1, self.prm.n_bins))
+        return jnp.stack(hists)
+
+    def _shift_grid(self):
+        r = self.prm.search
+        d = jnp.arange(-r, r + 1, dtype=jnp.float32)
+        dy, dx = jnp.meshgrid(d, d, indexing="ij")
+        return jnp.stack([dx.ravel(), dy.ravel()], axis=-1)  # (S, 2) xy
+
+    def initialize(self, frame, corners_img) -> FragState:
+        p = self.prm
+        center, sz = _center_size_of(corners_img)
+        win = _grab(frame, center, sz, p.res)
+        ii = self._bin_planes(win)
+        hists = self._frag_hists(ii, 1)[:, 0, :]             # (F, bins)
+        return FragState(center=center, base_sz=sz, templ_hists=hists)
+
+    def update(self, st: FragState, frame) -> FragState:
+        p = self.prm
+        span = p.res + 2 * p.search
+        wsz = st.base_sz * (span / p.res)
+        win = _grab(frame, st.center, wsz, span)
+        ii = self._bin_planes(win)
+        n_sh = 2 * p.search + 1
+        hists = self._frag_hists(ii, n_sh)                   # (F, S, bins)
+        d = jnp.sum(jnp.abs(hists - st.templ_hists[:, None, :]), axis=-1)
+        score = jnp.quantile(d, p.quantile, axis=0)          # (S,)
+        best = jnp.argmin(score)
+        step = st.base_sz / p.res
+        return st._replace(
+            center=st.center + self._shift_grid()[best] * step)
+
+    def corners(self, st: FragState) -> Array:
+        return _corners_of(st.center, st.base_sz).T
+
+    def set_region(self, st: FragState, corners_img, frame=None):
+        center, sz = _center_size_of(corners_img)
+        return st._replace(center=center, base_sz=sz)
+
+    def reinitialize(self, frame, corners_img) -> FragState:
+        return self.initialize(frame, corners_img)
+
+
 class DFT:
     """Descriptor-Fields tracking (Crivellaro & Lepetit, CVPR'14 — the
     reference's `ThirdParty/DFT`, 2941 LoC): any registration SM run on
@@ -432,13 +540,15 @@ class DFT:
         return self.initialize(frame, corners_img)
 
 
-LEARN_REGISTRY = {"rct": RCT, "strk": Struck, "struck": Struck}
+LEARN_REGISTRY = {"rct": RCT, "strk": Struck, "struck": Struck,
+                  "frg": FragTrack, "frag": FragTrack}
 
 
 def get_learn_tracker(key: str, **cfg):
     key = key.lower()
     cls = LEARN_REGISTRY[key]
-    prm_cls = RCTParams if cls is RCT else StruckParams
+    prm_cls = {RCT: RCTParams, Struck: StruckParams,
+               FragTrack: FragParams}[cls]
     fields = {f for f in prm_cls.__dataclass_fields__}
     prm = prm_cls(**{k: v for k, v in cfg.items() if k in fields})
     return cls(prm)

@@ -82,6 +82,24 @@ def test_medianflow_tracks_similarity():
     assert np.mean(errs) < 2.5, errs
 
 
+def test_fragtrack_partial_occlusion():
+    """Fragment-quantile voting keeps hold when a quarter of the target
+    is blanked out (the FragTrack occlusion property)."""
+    trk = mtf_tpu.create_tracker("frg", "ssd", "2")
+    from mtf_tpu.ssm import get_ssm
+    frames, gt = synth.synthetic_sequence(
+        _scene(), CORNERS0, get_ssm("2"), n_frames=8,
+        sigma_scale=0.008, seed=3)
+    occ = []
+    for i, f in enumerate(frames):
+        if i >= 3:
+            c = gt[i].mean(0).astype(int)
+            f = f.at[c[1]:c[1] + 40, c[0]:c[0] + 50].set(0.0)
+        occ.append(f)
+    errs = _track(trk, occ, gt)
+    assert np.mean(errs) < 4.0, errs
+
+
 def test_dft_illumination_robustness():
     """Descriptor-Fields tracking shrugs off an abrupt gain+offset
     illumination change that breaks plain intensity SSD."""
