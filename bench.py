@@ -27,6 +27,10 @@ RES = 50            # reference default resx=resy=50
 B = 1024            # fleet width per chip (r3 sweep: 46.6k fps at 256,
                     # 53.1k at 512, 54.6k at 1024 — the cheaper coarse-
                     # schedule update amortizes fixed costs at width)
+# accuracy-safe coarse-to-fine schedule: the r3 decision record rejected
+# ((4,7),(2,2)) (hard-cell max-err 0.64px vs 0.44px) for ~2.5% fps —
+# the headline ships the safe point and binds accuracy into its row
+HEADLINE_SCHEDULE = ((4, 6), (2, 3))
 WARMUP = 3
 STEPS = 20
 BASELINE_CACHE = os.path.join(os.path.dirname(__file__), "log",
@@ -103,7 +107,7 @@ def _measure_chip():
     sm = create_tracker("fclk", "ssd", "8", resx=RES, resy=RES,
                         max_iters=10, epsilon=0.0,
                         interp="linear_mm", crop=144,
-                        coarse_pt_iters=((4, 7), (2, 2)))
+                        coarse_pt_iters=HEADLINE_SCHEDULE)
     fleet = TrackerFleet(sm, mesh)
 
     frame0 = _scene(0)
@@ -207,6 +211,21 @@ def main():
     # 55.8k fresh vs 54.4k after the extras, measured r3)
     chip_fps = _measure_chip()
 
+    # headline accuracy, bound into the SAME row (VERDICT r3 Weak #2):
+    # synthetic mean-corner-distance of the exact headline tracker config
+    # on the exact-GT warp protocol (CPU path of the same program; the
+    # chain kernel is corner-identical to the XLA path, tests/test_lk.py)
+    try:
+        from bench_extra import _synth_acc
+        from mtf_tpu import create_tracker
+        acc_sm = create_tracker("fclk", "ssd", "8", resx=RES, resy=RES,
+                                max_iters=10, epsilon=0.0,
+                                interp="linear_mm", crop=144,
+                                coarse_pt_iters=HEADLINE_SCHEDULE)
+        headline_acc = round(_synth_acc(acc_sm), 3)
+    except Exception:
+        headline_acc = None
+
     rows = []
     # milestone configs (VERDICT r1 #3) — each row is best-effort and
     # time-budgeted; see bench_extra.py
@@ -229,6 +248,8 @@ def main():
         "unit": "frames/s",
         "vs_baseline": (round(chip_fps / native_fps, 2)
                         if native_fps else None),
+        "synth_mcd_px": headline_acc,
+        "coarse_schedule": list(map(list, HEADLINE_SCHEDULE)),
         "baseline_cpu_fps": {"native_cpp_1core": native_fps,
                              "jax_cpu_1core": jax_cpu_fps},
     }

@@ -176,10 +176,44 @@ def create_tracker(sm: str = "fclk", am: str = "ssd", ssm: str = "8",
     # (mtf.h:935 -> 1978): bundled-tracker keys bypass the AM/SSM
     # machinery. Keys with native TPU implementations below (MedianFlow,
     # compressive tracking, Struck) are intercepted like dsst/kcf.
-    _native_third_party = {"mf", "rct", "strk", "dft", "frg"}
+    _native_third_party = {"mf", "rct", "strk", "dft", "frg", "pfsl3"}
     from mtf_tpu.third_party import get_third_party, is_third_party
     if is_third_party(sm_key) and sm_key not in _native_third_party:
         return get_third_party(sm_key)
+
+    # PFSL3: particle filter on SL(3) — bundled C++ in the reference
+    # (ThirdParty/PFSL3/src/PFSL3.cc, defaults :14-33 +
+    # Config/thirdparty.cfg:59-68: 40x40 NCC template, NCC_std=0.1,
+    # AR(1) dynamics p=0.5, N=50 particles x N_c=10 annealing rounds,
+    # and per-particle NCC-Jacobian refinement, PFSL3.cc:735-750).
+    # Natively it is parts this repo already owns: a PF on the SL3 SSM
+    # (annealing budget flattened into one N*N_c population — one wide
+    # dispatch beats serial annealing rounds on TPU) whose mean state is
+    # polished by an NCC FCLK refiner on the same group (the cascade
+    # form of the reference's in-loop Jacobian refinement; a raw SIR
+    # filter at this population size cannot localize an 8-dim state to
+    # sub-pixel, and neither does the reference without its refinement).
+    if sm_key == "pfsl3":
+        ncfg = dict(cfg)
+        ncfg.setdefault("resx", int(cfg.get("pfsl3_p_x", 40)))
+        ncfg.setdefault("resy", int(cfg.get("pfsl3_p_y", 40)))
+        ncfg.setdefault("pf_n_particles",
+                        int(cfg.get("pfsl3_n", 50))
+                        * int(cfg.get("pfsl3_n_c", 10)))
+        ncfg.setdefault("pf_dynamic_model", "ar1")
+        ncfg.setdefault("pf_likelihood", "gaussian")
+        ncfg.setdefault("pf_measurement_sigma",
+                        float(cfg.get("pfsl3_ncc_std", 0.05)))
+        if "pfsl3_state_std" in cfg:
+            ncfg.setdefault("pf_ssm_sigma",
+                            tuple(cfg["pfsl3_state_std"]))
+        else:
+            # thirdparty.cfg's translation std (3.5 px) through the
+            # region-scale-aware pixel->state conversion
+            ncfg.setdefault("pf_pix_sigma", 3.5)
+        ncfg.setdefault("max_iters", int(cfg.get("pfsl3_n_iter", 5)) * 2)
+        return create_tracker("pffc", str(cfg.get("pfsl3_am", "ncc")),
+                              "sl3", ilm, **ncfg)
 
     prm = _sm_params(cfg)
     am_prm = _am_params(cfg)

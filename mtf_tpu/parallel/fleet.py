@@ -32,7 +32,6 @@ class TrackerFleet:
         self.axis = axis
         self._upd = None
         self._upd_multi = None
-        self._upd_chunk = None
 
     # -- sharding helpers ----------------------------------------------
     def _shard_batch(self, tree):
@@ -71,27 +70,14 @@ class TrackerFleet:
                     out_shardings=NamedSharding(self.mesh, P(self.axis)))
         return self._upd(states, self._replicate(jnp.asarray(frame)))
 
-    def update_chunk(self, states, frames: Array):
-        """K consecutive fleet steps in ONE dispatch: frames (K, H, W[,C])
-        shared by all trackers. Statically unrolled (a lax.scan over
-        frames measures anomalously slow over this transport); trades K-1
-        frames of stream latency for amortized dispatch overhead — the
-        standard serving pipelining knob."""
-        if self._upd_chunk is None:
-            def chunk(states, frames):
-                step = jax.vmap(self.sm.update, in_axes=(0, None))
-                for k in range(frames.shape[0]):
-                    states = step(states, frames[k])
-                return states
-            if self.mesh is None:
-                self._upd_chunk = jax.jit(chunk)
-            else:
-                self._upd_chunk = jax.jit(
-                    chunk,
-                    in_shardings=(NamedSharding(self.mesh, P(self.axis)),
-                                  NamedSharding(self.mesh, P())),
-                    out_shardings=NamedSharding(self.mesh, P(self.axis)))
-        return self._upd_chunk(states, self._replicate(jnp.asarray(frames)))
+    # NOTE: a multi-frame single-dispatch `update_chunk` (K statically
+    # unrolled steps per dispatch) was carried r2-r3 and DELETED in r4:
+    # the same-session A/B at B=1024 (log/ab_chunk_r4.log) measured eager
+    # per-frame dispatch >= chunked at every K (56.0k vs 55.3k/54.7k/
+    # 54.3k fps at K=2/4/8) — async dispatch already pipelines the fleet
+    # update, so chunking only added latency and an erratic reading.
+    # Batch-over-frames serving lives in `track_sequence` (device-
+    # resident stacks); per-frame serving uses `update`.
 
     def update_multi(self, states, frames: Array):
         """One fleet step, per-tracker frames (B, H, W[, C]) — independent

@@ -111,10 +111,13 @@ class ShardedPF(PF):
             d_idx, sig_p = self._draw_sigmas(k_distr, distr_lw, sigma,
                                              P_total)
 
-            # 1-2. propagate + measure on the local slice (the hot part)
+            # 1-2. propagate + measure on the local slice (the hot part);
+            # reduce_axis anchors the dense-sampling crop window on the
+            # GLOBAL point cloud so per-particle validity is identical to
+            # the unsharded PF regardless of shard layout
             prop_loc, log_lik_loc, valid_loc = self._propagate_measure(
                 state, frame, prop_keys, particles, prev, loc(sig_p),
-                am_loc)
+                am_loc, reduce_axis=ax)
 
             # gather the tiny per-particle tables; everything below runs
             # replicated and identical to PF._finish (the crop-window
@@ -158,6 +161,6 @@ class ShardedPF(PF):
                             log_weights=log_w, key=key,
                             distr_log_w=new_dlw, am_particles=am_prop)
         new_state = state._replace(ssm_state=mean_state, extra=new_extra)
-        patch = self._particle_patch(state.region, mean_state, frame)
         return new_state._replace(
-            am_state=am.update_model(am_state, patch))
+            am_state=self._learn_mean_patch(state, am_state, mean_state,
+                                            frame))

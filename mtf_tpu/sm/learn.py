@@ -316,7 +316,9 @@ class Struck:
         return lam
 
     def _add_sv(self, st: StruckState, x, dbeta, is_pos):
-        """Write an SV into the smallest-|beta| (or free) slot."""
+        """Write an SV into the smallest-|beta| (or free) slot.
+        Returns (state, slot) so callers can accumulate further beta
+        onto the same slot (LaRank semantics)."""
         score = jnp.where(st.sv_valid > 0.5,
                           jnp.abs(st.sv_beta), -1.0)
         slot = jnp.argmin(score)
@@ -324,7 +326,7 @@ class Struck:
             sv_x=st.sv_x.at[slot].set(x),
             sv_beta=st.sv_beta.at[slot].set(dbeta),
             sv_pos=st.sv_pos.at[slot].set(is_pos),
-            sv_valid=st.sv_valid.at[slot].set(1.0))
+            sv_valid=st.sv_valid.at[slot].set(1.0)), slot
 
     # -- TrackerBase contract --------------------------------------------
     def initialize(self, frame, corners_img) -> StruckState:
@@ -350,14 +352,21 @@ class Struck:
         # the grown support set and SMO-steps against the current
         # hardest negative (single-pair LaRank leaves F near-flat on
         # smooth imagery)
+        pos_slot = None
         for _ in range(p.n_new):
             F = self._F(st, feats)
             g = -loss - F                                    # (S,)
             ineg = jnp.argmin(g)
             xn = feats[ineg]
             lam = self._smo_pair(st, xp, xn, g[ipos], g[ineg], p.C)
-            st = self._add_sv(st, xp, lam, 1.0)
-            st = self._add_sv(st, xn, -lam, 0.0)
+            if pos_slot is None:
+                # first round inserts the positive pattern; later rounds
+                # accumulate beta onto the SAME slot (LaRank keeps one SV
+                # per pattern) instead of burning budget on duplicates
+                st, pos_slot = self._add_sv(st, xp, lam, 1.0)
+            else:
+                st = st._replace(sv_beta=st.sv_beta.at[pos_slot].add(lam))
+            st, _ = self._add_sv(st, xn, -lam, 0.0)
 
         # Optimize: re-balance an existing pos/neg SV pair (LaRank
         # Optimize; keeps the dual feasible as the model drifts)

@@ -598,6 +598,11 @@ class LKBase(SearchMethod):
                     return body(c, fe, fr)
 
                 carry = jax.lax.while_loop(cond_s, body_s, carry)
+            # a decimated/blurred coarse phase may have latched done=True
+            # at its own (offset) optimum; the SMParams contract is that
+            # the final FULL-RESOLUTION iterations set the converged fixed
+            # point, so re-arm the convergence test before entering it
+            carry = carry._replace(done=jnp.asarray(False))
         out = jax.lax.while_loop(cond, body, carry)
 
         new_am = state.am_state._replace(p_am=out.p_am)

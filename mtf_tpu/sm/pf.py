@@ -90,7 +90,7 @@ class PF(SearchMethod):
         pts = W.apply_warp(region.norm_mat, pts_t)
         return interp.sample(frame, pts, self.prm.interp, self.prm.border)
 
-    def _particle_patches(self, region, states, frame):
+    def _particle_patches(self, region, states, frame, reduce_axis=None):
         """(P, N, C) patches + (P,) in-window validity for the particle
         population.
 
@@ -103,7 +103,12 @@ class PF(SearchMethod):
         bulk), and any particle with points outside it is flagged
         invalid — `_apply_window_mask` gives those -inf log-likelihood
         rather than scoring them on edge-clamped garbage. The gather
-        path remains the non-_mm fallback (always valid)."""
+        path remains the non-_mm fallback (always valid).
+
+        `reduce_axis`: shard_map axis name to pmin/pmax the point-cloud
+        extent over, so every shard of a sharded population anchors the
+        SAME window and per-particle validity is shard-layout-invariant
+        (ShardedPF passes its particle axis)."""
         P = states.shape[0]
         pts_t = jax.vmap(
             lambda s: self.ssm.warp_pts(s, region.base_pts))(states)
@@ -115,8 +120,15 @@ class PF(SearchMethod):
             crop = prm.crop
             if crop is not None and (crop < h or crop < w):
                 hc, wc = min(crop, h), min(crop, w)
-                cx = 0.5 * (jnp.min(pts[:, 0]) + jnp.max(pts[:, 0]))
-                cy = 0.5 * (jnp.min(pts[:, 1]) + jnp.max(pts[:, 1]))
+                mnx, mxx = jnp.min(pts[:, 0]), jnp.max(pts[:, 0])
+                mny, mxy = jnp.min(pts[:, 1]), jnp.max(pts[:, 1])
+                if reduce_axis is not None:
+                    mnx = jax.lax.pmin(mnx, reduce_axis)
+                    mxx = jax.lax.pmax(mxx, reduce_axis)
+                    mny = jax.lax.pmin(mny, reduce_axis)
+                    mxy = jax.lax.pmax(mxy, reduce_axis)
+                cx = 0.5 * (mnx + mxx)
+                cy = 0.5 * (mny + mxy)
                 x0 = jnp.clip(jnp.floor(cx - 0.5 * wc), 0.0, float(w - wc))
                 y0 = jnp.clip(jnp.floor(cy - 0.5 * hc), 0.0, float(h - hc))
                 sub = jax.lax.dynamic_slice(
@@ -211,11 +223,14 @@ class PF(SearchMethod):
         return d_idx, sig_p
 
     def _propagate_measure(self, state, frame, prop_keys, particles,
-                           prev_particles, sig_p, am_prop):
+                           prev_particles, sig_p, am_prop,
+                           reduce_axis=None):
         """Steps 1-2 of the PF update: the per-particle propagate +
         patch-gather + likelihood (NT/PF.cc:261 loop as one vmap). This is
         the expensive, embarrassingly parallel piece — the one ShardedPF
-        runs on local particle slices. Returns (prop, log_lik)."""
+        runs on local particle slices (passing `reduce_axis` so the crop
+        window anchors on the GLOBAL point cloud). Returns (prop,
+        log_lik, valid)."""
         ssm, pf = self.ssm, self.pf
         compositional = pf.update_type == "compositional"
         if pf.dynamic_model == "ar1":
@@ -226,7 +241,8 @@ class PF(SearchMethod):
             prop = jax.vmap(lambda k, s, sg: ssm.random_walk(
                 k, s, sg, compositional))(prop_keys, particles, sig_p)
 
-        patches, valid = self._particle_patches(state.region, prop, frame)
+        patches, valid = self._particle_patches(state.region, prop, frame,
+                                                reduce_axis=reduce_axis)
         log_lik = jax.vmap(
             lambda p, pa: self._log_lik(state.am_state, p, pa))(
                 patches, am_prop)
@@ -278,10 +294,22 @@ class PF(SearchMethod):
                             log_weights=log_w, key=key,
                             distr_log_w=new_dlw, am_particles=am_prop)
         new_state = state._replace(ssm_state=mean_state, extra=new_extra)
-        patch = self._particle_patches(state.region, mean_state[None, :],
-                                       frame)[0][0]
         return new_state._replace(
-            am_state=am.update_model(am_state, patch))
+            am_state=self._learn_mean_patch(state, am_state, mean_state,
+                                            frame))
+
+    def _learn_mean_patch(self, state, am_state, mean_state, frame):
+        """Template learning on the mean-state patch, gated on the crop
+        window: when the target sits near the frame border the window
+        clamps, and with learning_rate>0 the template would learn
+        edge-clamped garbage — exactly the failure `_apply_window_mask`
+        exists to prevent, so an out-of-window mean patch skips the
+        update (keeps the old AM state leaf-for-leaf)."""
+        patches, pvalid = self._particle_patches(
+            state.region, mean_state[None, :], frame)
+        new_am = self.am.update_model(am_state, patches[0])
+        return jax.tree.map(lambda a, b: jnp.where(pvalid[0], a, b),
+                            new_am, am_state)
 
     def _finish(self, state, prop, prev_particles, am_prop, log_w, d_idx,
                 distr_log_w, k_res):

@@ -36,6 +36,18 @@ def run(sm, frames, gt):
     return errs, state
 
 
+def run2(sm, frames, gt):
+    """Like `run` but via the tracker's own corners() (composite-safe)."""
+    state = sm.initialize(frames[0], jnp.asarray(gt[0]))
+    update = jax.jit(sm.update)
+    errs = []
+    for t in range(1, len(frames)):
+        state = update(state, frames[t])
+        errs.append(mean_corner_distance(
+            np.asarray(sm.corners(state)).T, gt[t]))
+    return errs, state
+
+
 @pytest.mark.parametrize("mean_type", ["weighted", "corner", "best"])
 def test_pf_translation(base_image, mean_type):
     ssm = get_ssm("trans")
@@ -201,6 +213,29 @@ def test_gnn_factory_key_and_online_addition(test_image):
     # identity frame: region stays put through graph descent
     assert mean_corner_distance(np.asarray(trk.corners(st)).T,
                                 np.asarray(c)) < 0.5
+
+
+def test_pfsl3_native_key(base_image):
+    """pfsl3 = native PF x SL3 + NCC LK refiner (reference
+    ThirdParty/PFSL3/src/PFSL3.cc rebuilt from owned parts): constructs
+    from the factory key and tracks a synthetic SL3 sequence to
+    sub-pixel."""
+    from mtf_tpu import create_tracker
+    from mtf_tpu.ssm.projective import SL3
+
+    trk = create_tracker("pfsl3", resx=RES, resy=RES,
+                         pfsl3_n=40, pfsl3_n_c=5, seed=2)
+    assert isinstance(trk.ssm, SL3)
+    pf_stage = trk.members[0]
+    assert isinstance(pf_stage.ssm, SL3)
+    assert pf_stage.pf.n_particles == 200
+    assert pf_stage.pf.dynamic_model == "ar1"
+    assert pf_stage.pf.likelihood == "gaussian"
+    ssm = get_ssm("sl3")
+    frames, gt = synthetic_sequence(base_image, jnp.asarray(CORNERS0), ssm,
+                                    n_frames=5, sigma_scale=0.004, seed=14)
+    errs, _ = run2(trk, frames, gt)
+    assert max(errs) < 1.0, f"errors {errs}"
 
 
 def test_pf_am_state_sampling(base_image):
