@@ -176,7 +176,8 @@ def create_tracker(sm: str = "fclk", am: str = "ssd", ssm: str = "8",
     # (mtf.h:935 -> 1978): bundled-tracker keys bypass the AM/SSM
     # machinery. Keys with native TPU implementations below (MedianFlow,
     # compressive tracking, Struck) are intercepted like dsst/kcf.
-    _native_third_party = {"mf", "rct", "strk", "dft", "frg", "pfsl3"}
+    _native_third_party = {"mf", "rct", "strk", "dft", "frg", "pfsl3",
+                           "tld"}
     from mtf_tpu.third_party import get_third_party, is_third_party
     if is_third_party(sm_key) and sm_key not in _native_third_party:
         return get_third_party(sm_key)
@@ -350,6 +351,25 @@ def create_tracker(sm: str = "fclk", am: str = "ssd", ssm: str = "8",
                                        if k != "dft_sm"})
         return DFT(inner, sigma=float(cfg.get("dft_sigma", 1.5)))
 
+    # TLD (Kalal et al. — ThirdParty/TLD 15.9 kLoC): median-flow leg +
+    # variance/fern/NN detection cascade with P/N learning, re-acquiring
+    # the target after occlusion (sm/tld.py — the TPU-native rebuild)
+    if sm_key == "tld":
+        from mtf_tpu.sm.tld import TLD, TLDParams
+        gp = _grid_params(cfg, "median")
+        gp = replace(gp, flow="f2f",
+                     fb_err_px=float(cfg.get("grid_fb_err", 2.0)),
+                     # OpenTLD's pyrLK runs 20 iterations (TermCriteria
+                     # in TLD/src/mftracker/Lk.cpp); 10 under-converges
+                     # ~35% of the per-frame motion on smooth imagery
+                     sub_iters=int(cfg.get("grid_sub_iters", 20)),
+                     pyramid_levels=int(cfg.get("grid_pyramid_levels", 3)))
+        mf_leg = GridTracker(get_am("ssd", am_prm), get_ssm("4"), prm, gp)
+        fields = set(TLDParams.__dataclass_fields__)
+        tprm = TLDParams(**{k[4:]: v for k, v in cfg.items()
+                            if k.startswith("tld_") and k[4:] in fields})
+        return TLD(mf_leg, tprm)
+
     # MedianFlow (Kalal et al. — the reference's bundled TLD tracker
     # core, ThirdParty/TLD): frame-to-frame pyramidal grid flow with
     # forward-backward masking fused by the pairwise-median similarity
@@ -358,6 +378,9 @@ def create_tracker(sm: str = "fclk", am: str = "ssd", ssm: str = "8",
         gp = replace(
             gp, flow="f2f",
             fb_err_px=float(cfg.get("grid_fb_err", 2.0)),
+            # 20 LK iterations per level (OpenTLD Lk.cpp TermCriteria);
+            # the 10-iter default undershoots ~35% per frame
+            sub_iters=int(cfg.get("grid_sub_iters", 20)),
             pyramid_levels=int(cfg.get("grid_pyramid_levels", 3)))
         return GridTracker(make_am(), make_ssm(), prm, gp)
 

@@ -97,10 +97,13 @@ def _kernel(kind, hc, wc, n_s, tn, x_ref, y_ref, sub_ref, jac_ref,
     g = jnp.sum(Jm * r[None, :], axis=1, keepdims=True)     # (S, 1)
     g_ref[0, 0, 0, :] = g[:, 0]
     # per-tile normal matrix J^T J (SSD GN Hessian = -(sum over tiles));
-    # (S, TN) x (S, TN) contracting the lane axis — tiny MXU dot
+    # (S, TN) x (S, TN) contracting the lane axis — tiny MXU dot at full
+    # precision (the GN step solves against it; bf16 operand rounding is
+    # a free 0.4% H error otherwise)
     h_ref[0, 0, :, :] = jax.lax.dot_general(
         Jm, Jm, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
 
 
 def _pallas_batched(subs, xy, jac, templ, kind, interpret=False):
@@ -209,8 +212,15 @@ def _chain_kernel(kind, hc, wc, n_s, rpad, tn, n_valid, band, sub_ref,
     sampling dot (the dominant kernel cost at fleet scale)."""
     A = a_ref[0]                                            # (8+3R, 3)
     ph = ph_ref[0]                                          # (3, TN)
+    # precision HIGHEST: Q carries point COORDS at window scale (0-144;
+    # bf16 ulp 0.5 px) — the Mosaic default rounds f32 matmul operands
+    # to bf16, which the r4 GT audit measured as a ~1 px tracking bias.
+    # This dot is (8+3R, 3)x(3, TN): full precision is free next to the
+    # (band, Wc)x(Wc, TN) sampling dots (which stay bf16 — they carry
+    # VALUES, where bf16 noise costs ~0.1 px, not a bias).
     Q = jax.lax.dot_general(A, ph, (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
     winv = 1.0 / Q[2, :]
     xr = Q[0, :] * winv                                     # (TN,) lanes
     yr = Q[1, :] * winv
@@ -264,9 +274,12 @@ def _chain_kernel(kind, hc, wc, n_s, rpad, tn, n_valid, band, sub_ref,
         live.astype(jnp.float32)[None, :]                   # (S, TN)
     g = jnp.sum(Jm * r[None, :], axis=1, keepdims=True)
     g_ref[0, 0, 0, :] = g[:, 0]
+    # J^T J at full precision: (S, TN)x(S, TN) is ~1M MACs (vs the 50M+
+    # sampling dots) and the GN step solves against this matrix directly
     h_ref[0, 0, :, :] = jax.lax.dot_general(
         Jm, Jm, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
 
 
 @functools.lru_cache(maxsize=None)
@@ -351,8 +364,10 @@ def lk_fused_chain(img: Array, M0: Array, gens: Array, ph: Array,
         for s in range(n_s):
             # A[8 + b*rpad + s, k] = sum_j M0[b, j] G_s[j, k]
             C[b, :, 8 + b * rpad + s, :] = gens_np[s]
-    A = (M0.reshape(9) @ jnp.asarray(C.reshape(9, rows * 3))
-         ).reshape(rows, 3)
+    # precision HIGHEST: M0 carries window-scale translations (bf16 ulp
+    # 0.5 px at 144) and A seeds every coordinate in the kernel
+    A = jnp.matmul(M0.reshape(9), jnp.asarray(C.reshape(9, rows * 3)),
+                   precision=jax.lax.Precision.HIGHEST).reshape(rows, 3)
     tile, _ = _chain_tile_of(n, img.shape[0])
     if n % tile != 0:
         pad = ((n + tile - 1) // tile) * tile - n

@@ -32,8 +32,15 @@ def dehomogenize(pts_h: Array) -> Array:
 
 
 def apply_warp(w: Array, pts: Array) -> Array:
-    """Apply a 3x3 warp to (..., 2) points: dehom(W @ hom(p))."""
-    return dehomogenize(homogenize(pts) @ w.T)
+    """Apply a 3x3 warp to (..., 2) points: dehom(W @ hom(p)).
+
+    precision=HIGHEST: TPU matmuls round f32 operands to bf16 by default,
+    and warped point COORDS live at image scale (bf16 ulp at x=500 is
+    2 px) — the r4 on-chip GT audit measured a ~1 px systematic tracking
+    bias from exactly this (log/dbg_chipacc*_r4.log). The dot is (N, 3)
+    x (3, 3) — full precision costs nothing measurable."""
+    return dehomogenize(jnp.matmul(homogenize(pts), w.T,
+                                   precision=jax.lax.Precision.HIGHEST))
 
 
 def unit_square_corners(dtype=jnp.float32) -> Array:

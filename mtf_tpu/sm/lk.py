@@ -317,7 +317,11 @@ class LKBase(SearchMethod):
         if ph is None:
             ph = jnp.concatenate(
                 [region.base_pts.T, jnp.ones((1, n), jnp.float32)])  # (3, N)
-        M0 = region.norm_mat @ ssm.to_matrix(carry.ssm_state)
+        # precision HIGHEST: norm_mat carries image-scale translation
+        # (bf16 operand rounding = up to 2 px ulp — the r4 GT audit's
+        # ~1 px on-chip bias came from default-precision warp algebra)
+        M0 = jnp.matmul(region.norm_mat, ssm.to_matrix(carry.ssm_state),
+                        precision=jax.lax.Precision.HIGHEST)
         frame_w = frame
         if offset is not None:
             # crop hoisted by _update: shift the warp into window coords
@@ -441,9 +445,15 @@ class LKBase(SearchMethod):
             raise ValueError(f"unknown hess_type {prm.hess_type!r}")
 
         # LM damping: H is negative-definite at a maximum; damping pushes the
-        # diagonal further negative (NT/FCLK.cc:290-296 analog)
+        # diagonal further negative (NT/FCLK.cc:290-296 analog). The
+        # Marquardt |diag| scaling alone cannot regularize near-zero-
+        # curvature dims (MI/CCRE perspective dofs on shallow surfaces:
+        # damp * |H_ii| ~ 0 no matter how large damp grows, so LM keeps
+        # rejecting forever) — a Levenberg mean-|diag| floor makes large
+        # damp genuinely shrink EVERY step dimension.
         damp = carry.lm_delta if prm.enable_lm else 0.0
-        Hd = H - damp * jnp.diag(jnp.abs(jnp.diag(H))) \
+        dia = jnp.abs(jnp.diag(H))
+        Hd = H - damp * jnp.diag(dia + jnp.mean(dia)) \
                - 1e-7 * jnp.eye(q_dim, dtype=H.dtype)
         # (-Hd) is SPD (damped GN Hessian at a maximum); the unrolled
         # Cholesky avoids the LU custom call (~505 us/iter at fleet scale)
@@ -466,6 +476,13 @@ class LKBase(SearchMethod):
         am, ssm, prm = self.am, self.ssm, self.prm
         q_dim = self._q_dim
 
+        # static phase schedule (needed before the crop: the fast path
+        # below pre-blurs the SHARED frame per phase)
+        phases = ()
+        if (prm.coarse_pt_iters and not prm.enable_lm
+                and getattr(state.extra, "coarse", ())):
+            phases = tuple(zip(prm.coarse_pt_iters, state.extra.coarse))
+
         # Hoist the crop OUT of the iteration loop: a vmapped
         # dynamic_slice lowers to a serial while loop on TPU (~40% of the
         # fleet sampling pass when done per iteration); the window barely
@@ -473,6 +490,20 @@ class LKBase(SearchMethod):
         # window with shifted coordinates (crop margin absorbs the
         # intra-update motion).
         frame_eff, offset = frame, None
+        blur_win = {}
+        # fused bf16 fast path with no template learning: cast the SHARED
+        # frame to bf16 BEFORE the crop (halves the serial crop-loop
+        # bytes and kills the separate (B, hc, wc) cast copy) and blur
+        # the SHARED frame for the coarse phases (the per-window blur was
+        # ~1 ms/update of (B, hc, wc) shift-add fusions at B=1024; the
+        # shared blur is unbatched under vmap, and cropping FROM the
+        # blurred full frame also matches the LKCache.coarse template
+        # convention exactly — those templates sample the full-frame
+        # blurred init frame, so the old window-edge-padded blur was the
+        # approximation). All variants crop in ONE stacked dynamic_slice
+        # per tracker.
+        fast_bf16 = (self._fused_ok(state, frame) and not prm.enable_lm
+                     and not am.needs_update_model and frame.ndim == 2)
         if (prm.interp.endswith("_mm") and prm.crop is not None
                 and prm.crop_blocks is None):
             h, w = frame.shape[0], frame.shape[1]
@@ -497,6 +528,17 @@ class LKBase(SearchMethod):
                 if frame.ndim == 3:
                     frame_eff = jax.lax.dynamic_slice(
                         frame, starts + (0,), (hc, wc, frame.shape[2]))
+                elif fast_bf16:
+                    strides = [st for (st, _), _ in phases if st > 1]
+                    fb = frame.astype(jnp.bfloat16)
+                    stk = jnp.stack([fb] + [self._blur2(fb, st)
+                                            for st in strides])
+                    win = jax.lax.dynamic_slice(
+                        stk, (jnp.zeros((), jnp.int32),) + starts,
+                        (1 + len(strides), hc, wc))
+                    frame_eff = win[0]
+                    blur_win = {st: win[1 + i]
+                                for i, st in enumerate(strides)}
                 else:
                     frame_eff = jax.lax.dynamic_slice(frame, starts,
                                                       (hc, wc))
@@ -513,7 +555,8 @@ class LKBase(SearchMethod):
             ph_full = jnp.concatenate(
                 [base.T, jnp.ones((1, base.shape[0]), jnp.float32)])
             fenv = (ph_full, None, None)
-            if not prm.enable_lm and frame_eff.ndim == 2:
+            if (not prm.enable_lm and frame_eff.ndim == 2
+                    and frame_eff.dtype != jnp.bfloat16):
                 frame_eff = frame_eff.astype(jnp.bfloat16)
 
         def corners_of(s):
@@ -570,10 +613,8 @@ class LKBase(SearchMethod):
         # cost, then the full-resolution remainder of max_iters sets the
         # converged fixed point
         carry = init
-        phases = ()
-        if (fenv is not None and prm.coarse_pt_iters and not prm.enable_lm
-                and getattr(state.extra, "coarse", ())):
-            phases = tuple(zip(prm.coarse_pt_iters, state.extra.coarse))
+        if fenv is None:
+            phases = ()
         if phases:
             ry, rx = am.prm.resy, am.prm.resx
             it_hi = 0
@@ -584,9 +625,13 @@ class LKBase(SearchMethod):
                 # phase template was sampled through (raw subsampling
                 # aliases fine texture and destabilizes the coarse GN
                 # steps at large motion; mismatched blurs shift the
-                # coarse optimum)
-                frame_s = (self._blur2(frame_eff, stride)
-                           if frame_eff.ndim == 2 else frame_eff)
+                # coarse optimum). The fast path above blurred the
+                # SHARED frame pre-crop (blur_win); otherwise blur the
+                # per-tracker window here.
+                frame_s = blur_win.get(stride)
+                if frame_s is None:
+                    frame_s = (self._blur2(frame_eff, stride)
+                               if frame_eff.ndim == 2 else frame_eff)
                 fenv_s = (fenv[0][:, idx], templ_s, h0s)
                 it_hi = min(it_hi + int(n_it), prm.max_iters)
 

@@ -113,8 +113,15 @@ class SSM:
         return W.apply_warp(self.to_matrix(state), pts)
 
     def compose(self, s1: Array, s2: Array) -> Array:
-        """State of warp W(s1) @ W(s2) (apply s2 first in template frame)."""
-        return self.from_matrix(self.to_matrix(s1) @ self.to_matrix(s2))
+        """State of warp W(s1) @ W(s2) (apply s2 first in template frame).
+
+        All 3x3 warp products use precision=HIGHEST: TPU matmuls round
+        f32 operands to bf16 by default, and the iterated composition
+        accumulates that rounding into the tracked state (r4 on-chip GT
+        audit); a 3x3 product at full precision is free."""
+        return self.from_matrix(jnp.matmul(
+            self.to_matrix(s1), self.to_matrix(s2),
+            precision=jax.lax.Precision.HIGHEST))
 
     def invert(self, state: Array) -> Array:
         return self.from_matrix(jnp.linalg.inv(self.to_matrix(state)))
@@ -125,8 +132,9 @@ class SSM:
 
     def inverse_compositional_update(self, state: Array, dp: Array) -> Array:
         """p <- p ∘ dp^-1 (ICLK update; SSM/StateSpaceModel.h contract)."""
-        return self.from_matrix(
-            self.to_matrix(state) @ jnp.linalg.inv(self.to_matrix(dp)))
+        return self.from_matrix(jnp.matmul(
+            self.to_matrix(state), jnp.linalg.inv(self.to_matrix(dp)),
+            precision=jax.lax.Precision.HIGHEST))
 
     def additive_update(self, state: Array, dp: Array) -> Array:
         return state + dp
@@ -141,7 +149,8 @@ class SSM:
         displacement-field semantics.
         """
         if compositional:
-            M = self.to_matrix(state) @ self.to_matrix(dp)
+            M = jnp.matmul(self.to_matrix(state), self.to_matrix(dp),
+                           precision=jax.lax.Precision.HIGHEST)
         else:
             M = self.to_matrix(state + dp)
         return W.apply_warp(M, pts)
