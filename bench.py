@@ -226,9 +226,12 @@ def _measure_scaling_row():
     on an 8-device virtual CPU mesh. No multi-chip hardware is reachable
     from this image (one tunneled chip), so the measurement exercises the
     real sharded code path (NamedSharding fleet over mesh axis `tracker`)
-    on virtual devices — it validates the scaling STRUCTURE (no
-    replicated work, no cross-device sync in the update), not ICI
-    bandwidth."""
+    on virtual devices with the STRONG-scaling protocol (same 64-tracker
+    fleet sharded over 1..8 devices; total fps must stay flat) — weak
+    scaling on virtual devices only measures host-core contention, since
+    8 virtual devices share one CPU's cores. It validates the scaling
+    STRUCTURE (no replicated work, no cross-device sync in the update),
+    not ICI bandwidth."""
     import subprocess
     import sys
     code = r"""
@@ -249,8 +252,8 @@ def corners(i):
     return [[cx - s, cy - s], [cx + s, cy - s],
             [cx + s, cy + s], [cx - s, cy + s]]
 out = measure_fleet_scaling(sm, img.astype(np.float32), corners,
-                            widths=(1, 2, 4, 8), trackers_per_device=16,
-                            steps=5)
+                            widths=(1, 2, 4, 8), steps=5,
+                            fixed_total=64)
 print(json.dumps(out))
 """
     env = dict(os.environ)
@@ -308,6 +311,13 @@ def main():
                 rows.append(fn())
             except Exception as e:  # pragma: no cover - best effort
                 rows.append({"metric": name, "error": repr(e)[:200]})
+            finally:
+                # compiled executables pin their device constants; four
+                # fleet programs accumulate to RESOURCE_EXHAUSTED on the
+                # chip (r4: nn1k/rklt rows OOMed after the headline +
+                # esm/pf rows)
+                import jax
+                jax.clear_caches()
     except Exception:
         pass
     try:

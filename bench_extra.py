@@ -203,7 +203,14 @@ def _row(metric, sm_args, sm_kwargs, B, acc_sigma=0.01, baseline=None):
         elif baseline == "native_rklt":
             denom, kind = _native_cfg_fps("rklt"), "native_cpp_1core"
         else:
-            denom, kind = _jaxcpu_cfg_fps(metric, sm_args, sm_kwargs), \
+            # the CPU denominator runs the natural CPU program: the
+            # TPU-tuned dense-matmul sampling keys (interp="*_mm", crop)
+            # are pathological on one CPU core and would inflate the
+            # ratio (r4: pf500 measured 0.74 fps with them)
+            cpu_kwargs = {k: v for k, v in sm_kwargs.items()
+                          if k not in ("interp", "crop", "use_pallas",
+                                       "coarse_pt_iters", "interp_bf16")}
+            denom, kind = _jaxcpu_cfg_fps(metric, sm_args, cpu_kwargs), \
                 "jax_cpu_1core"
         row["vs_baseline"] = round(fps / denom, 2)
         row["baseline_cpu_fps"] = {kind: round(denom, 2)}

@@ -177,7 +177,7 @@ def create_tracker(sm: str = "fclk", am: str = "ssd", ssm: str = "8",
     # machinery. Keys with native TPU implementations below (MedianFlow,
     # compressive tracking, Struck) are intercepted like dsst/kcf.
     _native_third_party = {"mf", "rct", "strk", "dft", "frg", "pfsl3",
-                           "tld"}
+                           "tld", "cmt"}
     from mtf_tpu.third_party import get_third_party, is_third_party
     if is_third_party(sm_key) and sm_key not in _native_third_party:
         return get_third_party(sm_key)
@@ -350,6 +350,17 @@ def create_tracker(sm: str = "fclk", am: str = "ssd", ssm: str = "8",
                                ilm, **{k: v for k, v in cfg.items()
                                        if k != "dft_sm"})
         return DFT(inner, sigma=float(cfg.get("dft_sigma", 1.5)))
+
+    # CMT (Nebehay & Pflugfelder — ThirdParty/CMT/CMT.cpp): keypoint
+    # database tracked by vmapped per-point LK + rematched by device
+    # Hamming matmuls; scale/rotation from pairwise median votes and the
+    # center from an iterated vote consensus (sm/cmt.py)
+    if sm_key == "cmt":
+        from mtf_tpu.sm.cmt import CMT, CMTParams
+        fields = set(CMTParams.__dataclass_fields__)
+        cprm = CMTParams(**{k[4:]: v for k, v in cfg.items()
+                            if k.startswith("cmt_") and k[4:] in fields})
+        return CMT(cprm)
 
     # TLD (Kalal et al. — ThirdParty/TLD 15.9 kLoC): median-flow leg +
     # variance/fern/NN detection cascade with P/N learning, re-acquiring

@@ -1,3 +1,3 @@
 """Pallas TPU kernels for the hot ops."""
-from mtf_tpu.ops.pallas.dense_sample import (  # noqa: F401
-    sample_dense_pallas, sample_dense_pallas_parts)
+from mtf_tpu.ops.pallas.lk_fused import (  # noqa: F401
+    lk_fused_chain, lk_fused_gn_t)

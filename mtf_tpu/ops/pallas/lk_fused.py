@@ -195,8 +195,18 @@ def lk_fused_gn_t(img: Array, ptsT: Array, jacT: Array, templ: Array,
     return val[:n], jnp.sum(g, axis=0), jnp.sum(h_, axis=0)
 
 
-def _chain_kernel(kind, hc, wc, n_s, rpad, tn, n_valid, band, sub_ref,
-                  a_ref, ph_ref, templ_ref, val_ref, g_ref, h_ref):
+def _chain_kernel(kind, hc, wc, n_s, rpad, tn, n_valid, band, blur, grp,
+                  sub_ref, a_ref, ph_ref, templ_ref, val_ref, g_ref,
+                  h_ref):
+    for _g in range(grp):
+        _chain_kernel_one(kind, hc, wc, n_s, rpad, tn, n_valid, band,
+                          blur, _g, sub_ref, a_ref, ph_ref, templ_ref,
+                          val_ref, g_ref, h_ref)
+
+
+def _chain_kernel_one(kind, hc, wc, n_s, rpad, tn, n_valid, band, blur,
+                      g_i, sub_ref, a_ref, ph_ref, templ_ref, val_ref,
+                      g_ref, h_ref):
     """Whole LK iteration from the 3x3 warp algebra up: point projection,
     quotient-rule warp Jacobian, tap weights, MXU sampling contractions,
     SSD residual, g = J^T r and J^T J — no per-point tensor ever leaves
@@ -210,8 +220,8 @@ def _chain_kernel(kind, hc, wc, n_s, rpad, tn, n_valid, band, sub_ref,
     (band, Wc) window row block: M = band = 128 exactly fills the MXU
     row tiles, where M = hc = 144 padded to 256 wasted 44% of every
     sampling dot (the dominant kernel cost at fleet scale)."""
-    A = a_ref[0]                                            # (8+3R, 3)
-    ph = ph_ref[0]                                          # (3, TN)
+    A = a_ref[g_i]                                          # (8+3R, 3)
+    ph = ph_ref[g_i]                                        # (3, TN)
     # precision HIGHEST: Q carries point COORDS at window scale (0-144;
     # bf16 ulp 0.5 px) — the Mosaic default rounds f32 matmul operands
     # to bf16, which the r4 GT audit measured as a ~1 px tracking bias.
@@ -236,29 +246,34 @@ def _chain_kernel(kind, hc, wc, n_s, rpad, tn, n_valid, band, sub_ref,
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, tn), 1)[0, :]
     live = lane + pl.program_id(1) * tn < n_valid
 
-    lo = 0.001 if kind == "linear" else 1.001
-    hix = (wc - 1.001) if kind == "linear" else (wc - 2.001)
+    # blurred-tap phases widen the kernel support by the binomial
+    # radius (blur taps have length 2*blur-1): clip margins grow so all
+    # taps stay inside the window (the fast-path crop leaves >=4 px of
+    # margin, LKBase._update)
+    br = (blur - 1) if blur and blur > 1 else 0
+    lo = (0.001 if kind == "linear" else 1.001) + br
+    hix = ((wc - 1.001) if kind == "linear" else (wc - 2.001)) - br
     if band < hc:
         # band start: masked min of the tile's y coords (pad points
         # project to y=0 and must not drag the band off the slab),
         # aligned down to the bf16 sublane tile (16)
         ymin = jnp.min(jnp.where(live, yr, jnp.float32(hc)))
-        y0i = jnp.floor(ymin).astype(jnp.int32) - 2
+        y0i = jnp.floor(ymin).astype(jnp.int32) - 2 - br
         y0i = jnp.bitwise_and(jnp.clip(y0i, 0, hc - band), ~15)
         y0i = pl.multiple_of(y0i, 16)
-        sub = sub_ref[0, pl.ds(y0i, band), :]               # (band, Wc)
+        sub = sub_ref[g_i, pl.ds(y0i, band), :]             # (band, Wc)
         y0f = y0i.astype(jnp.float32)
     else:
-        sub = sub_ref[0, :, :]                              # (Hc, Wc) bf16
+        sub = sub_ref[g_i, :, :]                            # (Hc, Wc) bf16
         y0f = jnp.float32(0.0)
-    hiy = (band - 1.001) if kind == "linear" else (band - 2.001)
+    hiy = ((band - 1.001) if kind == "linear" else (band - 2.001)) - br
     x = jnp.clip(xr, lo, hix)
-    y = jnp.clip(yr - y0f, lo, hiy)
+    y = jnp.clip(yr - y0f, lo + 0.0, hiy)
     kx = jax.lax.broadcasted_iota(jnp.int32, (wc, tn), 0).astype(jnp.float32)
-    wxt, dpxt = _weights_dense(kx - x[None, :], kind)       # (Wc, TN)
+    wxt, dpxt = _weights_dense(kx - x[None, :], kind, blur)  # (Wc, TN)
     ky = jax.lax.broadcasted_iota(jnp.int32, (band, tn), 0).astype(
         jnp.float32)
-    wyt, dpyt = _weights_dense(ky - y[None, :], kind)       # (band, TN)
+    wyt, dpyt = _weights_dense(ky - y[None, :], kind, blur)  # (band, TN)
 
     tmp = jnp.dot(sub, wxt.astype(jnp.bfloat16),
                   preferred_element_type=jnp.float32)       # (band, TN)
@@ -267,16 +282,16 @@ def _chain_kernel(kind, hc, wc, n_s, rpad, tn, n_valid, band, sub_ref,
     val = jnp.sum(wyt * tmp, axis=0)
     dx = -jnp.sum(wyt * tmp_dx, axis=0)
     dy = -jnp.sum(dpyt * tmp, axis=0)
-    val_ref[0, 0, :] = val
+    val_ref[g_i, 0, :] = val
 
-    r = templ_ref[0, 0, :] - val
+    r = templ_ref[g_i, 0, :] - val
     Jm = (jx * dx[None, :] + jy * dy[None, :]) * \
         live.astype(jnp.float32)[None, :]                   # (S, TN)
     g = jnp.sum(Jm * r[None, :], axis=1, keepdims=True)
-    g_ref[0, 0, 0, :] = g[:, 0]
+    g_ref[g_i, 0, 0, :] = g[:, 0]
     # J^T J at full precision: (S, TN)x(S, TN) is ~1M MACs (vs the 50M+
     # sampling dots) and the GN step solves against this matrix directly
-    h_ref[0, 0, :, :] = jax.lax.dot_general(
+    h_ref[g_i, 0, :, :] = jax.lax.dot_general(
         Jm, Jm, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST)
@@ -284,29 +299,38 @@ def _chain_kernel(kind, hc, wc, n_s, rpad, tn, n_valid, band, sub_ref,
 
 @functools.lru_cache(maxsize=None)
 def _chain_core_for(kind: str, n_s: int, n_valid: int,
-                    interpret: bool = False):
+                    interpret: bool = False, blur: int = 0):
     def batched(subs, A, ph, templ):
         b, hc, wc = subs.shape
         n_pad = ph.shape[2]
         rpad = (A.shape[1] - 8) // 3
         tn, band = _chain_tile_of(n_pad, hc)
         t = n_pad // tn
-        sub_blk = pl.BlockSpec((1, hc, wc), lambda i, j: (i, 0, 0),
+        # tracker grouping: decimated coarse phases (small N) are
+        # launch/DMA-overhead-bound — at B=1024 the per-grid-step fixed
+        # cost dominates a ~50 us compute payload. Packing `grp`
+        # trackers per grid step amortizes it; full-resolution calls
+        # keep grp=1 (their VMEM working set is already ~6 MB).
+        grp = 8 if (n_pad <= 1024 and band == hc) else 1
+        while grp > 1 and b % grp:
+            grp //= 2
+        gb = b // grp
+        sub_blk = pl.BlockSpec((grp, hc, wc), lambda i, j: (i, 0, 0),
                                memory_space=pltpu.VMEM)
-        ablk = pl.BlockSpec((1, A.shape[1], 3), lambda i, j: (i, 0, 0),
+        ablk = pl.BlockSpec((grp, A.shape[1], 3), lambda i, j: (i, 0, 0),
                             memory_space=pltpu.VMEM)
-        phblk = pl.BlockSpec((1, 3, tn), lambda i, j: (i, 0, j),
+        phblk = pl.BlockSpec((grp, 3, tn), lambda i, j: (i, 0, j),
                              memory_space=pltpu.VMEM)
-        vec = pl.BlockSpec((1, 1, tn), lambda i, j: (i, 0, j),
+        vec = pl.BlockSpec((grp, 1, tn), lambda i, j: (i, 0, j),
                            memory_space=pltpu.VMEM)
-        gblk = pl.BlockSpec((1, 1, 1, n_s), lambda i, j: (i, j, 0, 0),
+        gblk = pl.BlockSpec((grp, 1, 1, n_s), lambda i, j: (i, j, 0, 0),
                             memory_space=pltpu.VMEM)
-        hblk = pl.BlockSpec((1, 1, n_s, n_s), lambda i, j: (i, j, 0, 0),
+        hblk = pl.BlockSpec((grp, 1, n_s, n_s), lambda i, j: (i, j, 0, 0),
                             memory_space=pltpu.VMEM)
         val, g, h = pl.pallas_call(
             functools.partial(_chain_kernel, kind, hc, wc, n_s, rpad, tn,
-                              n_valid, band),
-            grid=(b, t),
+                              n_valid, band, blur, grp),
+            grid=(gb, t),
             in_specs=[sub_blk, ablk, phblk, vec],
             out_specs=(vec, gblk, hblk),
             out_shape=(jax.ShapeDtypeStruct((b, 1, n_pad), jnp.float32),
@@ -337,7 +361,7 @@ def _chain_core_for(kind: str, n_s: int, n_valid: int,
 
 def lk_fused_chain(img: Array, M0: Array, gens: Array, ph: Array,
                    templ: Array, kind: str = "linear",
-                   interpret: bool = False):
+                   interpret: bool = False, blur: int = 0):
     """Chain-fused LK iteration: ONLY 3x3-scale warp algebra stays in XLA.
 
     img (Hc, Wc) pre-cropped window; M0 (3, 3) mapping the homogeneous
@@ -376,54 +400,13 @@ def lk_fused_chain(img: Array, M0: Array, gens: Array, ph: Array,
             [ph, jnp.tile(jnp.asarray([[0.0], [0.0], [1.0]], ph.dtype),
                           (1, pad))], axis=1)
         templ = jnp.pad(templ, ((0, pad),))
-    val, g, h = _chain_core_for(kind, n_s, n, interpret)(
+    val, g, h = _chain_core_for(kind, n_s, n, interpret, blur)(
         img.astype(jnp.bfloat16), A, ph, templ)
     return val[:n], jnp.sum(g, axis=0), jnp.sum(h, axis=0)
 
 
-def lk_fused_gn(img: Array, pts: Array, Jpts: Array, templ: Array,
-                kind: str = "linear", crop: int | None = None,
-                interpret: bool = False):
-    """Fused sampling + SSD LK gradient for one tracker (vmap-friendly).
-
-    img (H, W) grayscale (pre-cropped windows welcome); pts (N, 2);
-    Jpts (N, 2, S) warp Jacobian at the identity update; templ (N,).
-    Returns (patch_vals (N,), g (S,), JtJ (S, S)) with
-    g = J^T (templ - patch),  J = dx * Jx + dy * Jy, JtJ = J^T J (the
-    SSD GN normal matrix; the LK Hessian is -JtJ).
-    """
-    h, w = img.shape
-    x, y = pts[:, 0], pts[:, 1]
-    if crop is not None and (crop < h or crop < w):
-        hc, wc = min(crop, h), min(crop, w)
-        x0 = jnp.clip(jnp.floor(jnp.min(x)) - 2.0, 0.0, float(w - wc))
-        y0 = jnp.clip(jnp.floor(jnp.min(y)) - 2.0, 0.0, float(h - hc))
-        sub = jax.lax.dynamic_slice(
-            img, (y0.astype(jnp.int32), x0.astype(jnp.int32)), (hc, wc))
-        x = x - x0
-        y = y - y0
-    else:
-        sub = img
-    n, _, n_s = Jpts.shape
-    tile = _tile_of(n)
-    if n % tile == 0:
-        # exact tiling (the n <= _FULL_MAX single-tile fast path):
-        # plain transposes, no zero-padding scatter
-        xy = jnp.stack([x, y])                             # (2, N)
-        jac = jnp.transpose(Jpts, (1, 2, 0)).reshape(2 * n_s, n)
-        tp = templ
-        n_pad = n
-    else:
-        n_pad = ((n + tile - 1) // tile) * tile
-        xy = jnp.zeros((2, n_pad), jnp.float32)
-        xy = xy.at[0, :n].set(x).at[1, :n].set(y)
-        # padded Jacobian columns are zero -> padded points contribute
-        # nothing to g, whatever their (clamped) sample value
-        jac = jnp.zeros((2 * n_s, n_pad), jnp.float32)
-        jac = jac.at[:n_s, :n].set(Jpts[:, 0, :].T)
-        jac = jac.at[n_s:, :n].set(Jpts[:, 1, :].T)
-        tp = jnp.zeros((n_pad,), jnp.float32).at[:n].set(templ)
-
-    val, g, h = _core_for(kind, interpret)(
-        sub.astype(jnp.bfloat16), xy, jac, tp)
-    return val[:n], jnp.sum(g, axis=0), jnp.sum(h, axis=0)
+# NOTE r4: the non-transposed `lk_fused_gn` wrapper and the
+# standalone parts-sampling kernel (dense_sample.py) were deleted
+# after the settling measurement (log/ab_parts_r4.log) — the chain
+# kernel above is the production path; `lk_fused_gn_t` is retained
+# as the independent jvp-Jacobian oracle for its parity test.

@@ -33,13 +33,22 @@ def init_distributed(coordinator: str | None = None,
 
 def measure_fleet_scaling(sm, frame, corners_fn, widths=(1, 2, 4, 8),
                           trackers_per_device: int = 32,
-                          steps: int = 10) -> dict:
+                          steps: int = 10,
+                          fixed_total: int | None = None) -> dict:
     """Throughput vs mesh width for a tracker fleet.
 
     `corners_fn(i) -> (4, 2)` supplies per-tracker init regions. Returns
     {n_devices: fps} plus `efficiency` relative to the 1-device run —
-    the BASELINE.md scaling-efficiency measurement (fleet workload scales
-    with the mesh, so ideal scaling holds fps/device constant).
+    the BASELINE.md scaling-efficiency measurement.
+
+    Two protocols:
+    - weak scaling (default): B = trackers_per_device * n, ideal keeps
+      fps/device constant — the real multi-chip measurement.
+    - strong scaling (`fixed_total=B`): the SAME B trackers sharded over
+      more devices; efficiency = fps_n / fps_1. This is the protocol
+      that stays meaningful on VIRTUAL devices sharing one host's cores
+      (weak scaling there only measures host-core contention — more
+      virtual devices never add compute).
     """
     from mtf_tpu.parallel import TrackerFleet, make_mesh
 
@@ -49,7 +58,9 @@ def measure_fleet_scaling(sm, frame, corners_fn, widths=(1, 2, 4, 8),
         if n > len(devices):
             break
         mesh = make_mesh({"tracker": n}, devices=devices[:n])
-        B = trackers_per_device * n
+        B = fixed_total if fixed_total else trackers_per_device * n
+        if B % n != 0:
+            continue
         corners = np.stack([np.asarray(corners_fn(i), np.float32)
                             for i in range(B)])
         fleet = TrackerFleet(sm, mesh)
@@ -63,6 +74,11 @@ def measure_fleet_scaling(sm, frame, corners_fn, widths=(1, 2, 4, 8),
         dt = time.perf_counter() - t0
         results[n] = B * steps / dt
     base = results.get(widths[0])
-    eff = {n: (fps / n) / (base / widths[0])
-           for n, fps in results.items()} if base else {}
+    if not base:
+        return {"fps": results, "efficiency": {}}
+    if fixed_total:
+        eff = {n: fps / base for n, fps in results.items()}
+    else:
+        eff = {n: (fps / n) / (base / widths[0])
+               for n, fps in results.items()}
     return {"fps": results, "efficiency": eff}

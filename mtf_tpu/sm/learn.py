@@ -549,15 +549,236 @@ class DFT:
         return self.initialize(frame, corners_img)
 
 
+@dataclass(frozen=True)
+class MILParams(RCTParams):
+    """ThirdParty/MIL `cf/Tracker.cpp` + `OnlineBoost.cpp` analog
+    (Babenko et al. CVPR'09 MILTrack defaults: 250-feature Haar pool,
+    50 selected weak classifiers, lRate 0.85)."""
+    n_feats: int = 150       # Haar feature pool (numFeat)
+    n_sel: int = 40          # weak classifiers selected per frame (numSel)
+
+
+class MILState(NamedTuple):
+    center: Array
+    base_sz: Array
+    mu_pos: Array   # (M,)
+    sg_pos: Array
+    mu_neg: Array
+    sg_neg: Array
+    sel: Array      # (K,) selected pool indices (previous frame's boost)
+
+
+class MIL(RCT):
+    """Online multiple-instance-learning boosting tracker (reference
+    ThirdParty/MIL, `cf/OnlineMILBoost`): a Haar pool with per-feature
+    online Gaussians (shared with the RCT machinery — static-slice
+    integral-image rect sums), re-boosted every frame by greedy noisy-OR
+    bag-likelihood selection. The reference's per-weak-classifier loops
+    (`OnlineBoost.cpp:300-400`) become K rounds of (M,)-vector
+    likelihood updates; detection scores every shift with the selected
+    ensemble in one (S, M) x (M,) contraction."""
+
+    name = "mil"
+
+    def __init__(self, prm: MILParams | None = None):
+        super().__init__(prm or MILParams())
+
+    # weak log-odds of every pool feature at every sample: (S, M)
+    def _weak_h(self, st, feats):
+        def logn(f, mu, s):
+            v = jnp.maximum(s, 1e-2) ** 2
+            return -0.5 * (f - mu) ** 2 / v - 0.5 * jnp.log(v)
+        return (logn(feats, st.mu_pos, st.sg_pos)
+                - logn(feats, st.mu_neg, st.sg_neg))
+
+    def _boost_select(self, h, pos_mask, neg_mask):
+        """Greedy MILBoost (noisy-OR bag likelihood, Babenko eq. 7):
+        round k adds the pool feature maximizing
+        log(1 - prod_pos(1 - sigmoid(H + h_m))) + sum_neg log(1 -
+        sigmoid(H + h_m)). Returns (K,) selected indices."""
+        p: MILParams = self.prm
+        S, M = h.shape
+        posf = pos_mask.astype(jnp.float32)
+        negf = neg_mask.astype(jnp.float32)
+        H = jnp.zeros((S,), jnp.float32)
+        taken = jnp.zeros((M,), bool)
+        sel = []
+        for _ in range(p.n_sel):
+            cand = jax.nn.sigmoid(H[:, None] + h)          # (S, M)
+            # noisy-OR positive bag: 1 - prod(1 - p_i) over the pos bag
+            log1m = jnp.log1p(-jnp.clip(cand, 1e-6, 1 - 1e-6))
+            bag_log = jnp.log1p(-jnp.exp(
+                jnp.sum(log1m * posf[:, None], axis=0)) + 1e-12)
+            neg_log = jnp.sum(log1m * negf[:, None], axis=0)
+            lik = bag_log + neg_log
+            lik = jnp.where(taken, -jnp.inf, lik)
+            m = jnp.argmax(lik)
+            sel.append(m)
+            taken = taken.at[m].set(True)
+            H = H + h[:, m]
+        return jnp.stack(sel)
+
+    def _seed_stats(self, feats):
+        pos, neg = self._class_masks()
+
+        def stats(mask):
+            w = mask.astype(jnp.float32)[:, None]
+            n = jnp.maximum(jnp.sum(w), 1.0)
+            mu = jnp.sum(feats * w, axis=0) / n
+            var = jnp.sum((feats - mu) ** 2 * w, axis=0) / n
+            return mu, jnp.sqrt(var + 1e-6)
+
+        return stats(pos), stats(neg)
+
+    def initialize(self, frame, corners_img) -> MILState:
+        center, sz = _center_size_of(corners_img)
+        feats = self._shift_feats(frame, center, sz)
+        (mu_p, sg_p), (mu_n, sg_n) = self._seed_stats(feats)
+        st = MILState(center=center, base_sz=sz, mu_pos=mu_p, sg_pos=sg_p,
+                      mu_neg=mu_n, sg_neg=sg_n,
+                      sel=jnp.zeros((self.prm.n_sel,), jnp.int32))
+        pos, neg = self._class_masks()
+        sel = self._boost_select(self._weak_h(st, feats), pos, neg)
+        return st._replace(sel=sel)
+
+    def update(self, st: MILState, frame) -> MILState:
+        p: MILParams = self.prm
+        feats = self._shift_feats(frame, st.center, st.base_sz)
+        h = self._weak_h(st, feats)                        # (S, M)
+        score = jnp.sum(h[:, st.sel], axis=1)
+        best = jnp.argmax(score)
+        center = st.center + self._shift_grid()[best] * (st.base_sz / p.res)
+        st = st._replace(center=center)
+        # learning at the new center: Gaussian pool update + re-boost
+        feats2 = self._shift_feats(frame, center, st.base_sz)
+        st = self._learn_gauss(st, feats2)
+        pos, neg = self._class_masks()
+        sel = self._boost_select(self._weak_h(st, feats2), pos, neg)
+        return st._replace(sel=sel)
+
+    def _learn_gauss(self, st, feats):
+        lr = self.prm.lr
+        (mu_p, sg_p), (mu_n, sg_n) = self._seed_stats(feats)
+        mix = lambda old, new: lr * old + (1.0 - lr) * new  # noqa: E731
+        vmix = lambda so, sn, mo, mn: jnp.sqrt(  # noqa: E731
+            lr * so ** 2 + (1 - lr) * sn ** 2
+            + lr * (1 - lr) * (mo - mn) ** 2)
+        return st._replace(
+            mu_pos=mix(st.mu_pos, mu_p),
+            sg_pos=vmix(st.sg_pos, sg_p, st.mu_pos, mu_p),
+            mu_neg=mix(st.mu_neg, mu_n),
+            sg_neg=vmix(st.sg_neg, sg_n, st.mu_neg, mu_n))
+
+    def corners(self, st: MILState) -> Array:
+        return _corners_of(st.center, st.base_sz).T
+
+    def set_region(self, st: MILState, corners_img, frame=None) -> MILState:
+        center, sz = _center_size_of(corners_img)
+        return st._replace(center=center, base_sz=sz)
+
+    def reinitialize(self, frame, corners_img) -> MILState:
+        return self.initialize(frame, corners_img)
+
+
+@dataclass(frozen=True)
+class BoostParams(RCTParams):
+    """ThirdParty/Boosting `StrongClassifierDirectSelection` analog
+    (Grabner et al. BMVC'06 online AdaBoost: 50 selectors over a
+    ~250-weak-classifier pool)."""
+    n_feats: int = 150
+    n_sel: int = 40
+
+
+class BoostState(NamedTuple):
+    center: Array
+    base_sz: Array
+    mu_pos: Array
+    sg_pos: Array
+    mu_neg: Array
+    sg_neg: Array
+    sel: Array      # (K,) selector choices
+    alpha: Array    # (K,) selector vote weights
+
+
+class Boosting(MIL):
+    """Online AdaBoost tracker (reference ThirdParty/Boosting): the same
+    Haar pool / online Gaussian machinery, boosted with importance-
+    weighted AdaBoost selection instead of MIL bags — each selector
+    round picks the pool stump with minimal weighted error, votes with
+    alpha = .5 log((1-e)/e), and re-weights the samples
+    (`StrongClassifierDirectSelection::update`)."""
+
+    name = "boost"
+
+    def __init__(self, prm: BoostParams | None = None):
+        RCT.__init__(self, prm or BoostParams())
+
+    def _ada_select(self, h, pos_mask, neg_mask):
+        """(K,) indices + (K,) alphas via importance-weighted AdaBoost
+        over the stump predictions sign(h)."""
+        p: BoostParams = self.prm
+        S, M = h.shape
+        y = jnp.where(pos_mask, 1.0, -1.0)                 # (S,)
+        in_set = (pos_mask | neg_mask).astype(jnp.float32)
+        lam = in_set / jnp.maximum(jnp.sum(in_set), 1.0)
+        pred = jnp.sign(h)                                  # (S, M)
+        wrong = (pred * y[:, None] < 0).astype(jnp.float32)
+        taken = jnp.zeros((M,), bool)
+        sel, alpha = [], []
+        for _ in range(p.n_sel):
+            err = jnp.sum(lam[:, None] * wrong, axis=0) \
+                / jnp.maximum(jnp.sum(lam), 1e-8)
+            err = jnp.where(taken, jnp.inf, jnp.clip(err, 1e-4, 1 - 1e-4))
+            m = jnp.argmin(err)
+            a = 0.5 * jnp.log((1.0 - err[m]) / err[m])
+            sel.append(m)
+            alpha.append(a)
+            taken = taken.at[m].set(True)
+            lam = lam * jnp.exp(-a * y * pred[:, m]) * in_set
+            lam = lam / jnp.maximum(jnp.sum(lam), 1e-8)
+        return jnp.stack(sel), jnp.stack(alpha)
+
+    def initialize(self, frame, corners_img) -> BoostState:
+        center, sz = _center_size_of(corners_img)
+        feats = self._shift_feats(frame, center, sz)
+        (mu_p, sg_p), (mu_n, sg_n) = self._seed_stats(feats)
+        st = BoostState(center=center, base_sz=sz, mu_pos=mu_p,
+                        sg_pos=sg_p, mu_neg=mu_n, sg_neg=sg_n,
+                        sel=jnp.zeros((self.prm.n_sel,), jnp.int32),
+                        alpha=jnp.ones((self.prm.n_sel,)))
+        pos, neg = self._class_masks()
+        sel, alpha = self._ada_select(self._weak_h(st, feats), pos, neg)
+        return st._replace(sel=sel, alpha=alpha)
+
+    def update(self, st: BoostState, frame) -> BoostState:
+        p: BoostParams = self.prm
+        feats = self._shift_feats(frame, st.center, st.base_sz)
+        h = self._weak_h(st, feats)
+        # soft stump votes weighted by alpha (smoother argmax surface
+        # than the reference's hard sign votes; same ordering near the
+        # optimum)
+        score = jnp.sum(jnp.tanh(h[:, st.sel]) * st.alpha[None, :], axis=1)
+        best = jnp.argmax(score)
+        center = st.center + self._shift_grid()[best] * (st.base_sz / p.res)
+        st = st._replace(center=center)
+        feats2 = self._shift_feats(frame, center, st.base_sz)
+        st = self._learn_gauss(st, feats2)
+        pos, neg = self._class_masks()
+        sel, alpha = self._ada_select(self._weak_h(st, feats2), pos, neg)
+        return st._replace(sel=sel, alpha=alpha)
+
+
 LEARN_REGISTRY = {"rct": RCT, "strk": Struck, "struck": Struck,
-                  "frg": FragTrack, "frag": FragTrack}
+                  "frg": FragTrack, "frag": FragTrack,
+                  "mil": MIL, "boost": Boosting, "bsr": Boosting}
 
 
 def get_learn_tracker(key: str, **cfg):
     key = key.lower()
     cls = LEARN_REGISTRY[key]
     prm_cls = {RCT: RCTParams, Struck: StruckParams,
-               FragTrack: FragParams}[cls]
+               FragTrack: FragParams, MIL: MILParams,
+               Boosting: BoostParams}[cls]
     fields = {f for f in prm_cls.__dataclass_fields__}
     prm = prm_cls(**{k: v for k, v in cfg.items() if k in fields})
     return cls(prm)

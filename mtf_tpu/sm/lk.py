@@ -151,15 +151,14 @@ class LKBase(SearchMethod):
             # frame is already the hoisted per-update crop window
             pts = pts - offset
             crop_arg = None
-        if prm.interp.endswith("_mm") and prm.use_pallas and frame.ndim == 2:
-            from mtf_tpu.ops.pallas import sample_dense_pallas_parts
-            patch, dx, dy = sample_dense_pallas_parts(
-                frame, pts, prm.interp[:-3], crop=crop_arg,
-                interpret=not _tpu_compute())
-            Jp = (dx[..., None] * Jpts[:, None, 0, :]
-                  + dy[..., None] * Jpts[:, None, 1, :])  # (N, C, S)
-            grad = None
-        elif prm.interp.endswith("_mm") and prm.crop_blocks is not None:
+        # NOTE r4: the standalone parts-sampling Pallas kernel that used
+        # to serve `use_pallas=True` on non-fusable configs was DELETED
+        # after its settling measurement (VERDICT r3 #10): esm/ncc fleet
+        # at B=256 read 1,260 fps vs 9,677 on the XLA dense path
+        # (log/ab_parts_r4.log, 7.7x slower; corner diff 0.06 px).
+        # `use_pallas` now only selects the chain-fused kernel for the
+        # fusable FCLK/SSD family; everything else takes XLA dense.
+        if prm.interp.endswith("_mm") and prm.crop_blocks is not None:
             patch, grad = interp.sample_dense_blocked(
                 frame, pts, prm.interp[:-3], crop=crop_arg or 64,
                 grid_shape=(self.am.prm.resy, self.am.prm.resx),
@@ -176,8 +175,7 @@ class LKBase(SearchMethod):
         else:
             patch, grad = interp.sample_with_grad(frame, pts, prm.interp,
                                                   prm.border)
-        if grad is not None:
-            Jp = jnp.einsum("ncd,nds->ncs", grad, Jpts)  # (N, C, S)
+        Jp = jnp.einsum("ncd,nds->ncs", grad, Jpts)      # (N, C, S)
         N, C = patch.shape
         if P == 0:
             return patch, Jp.reshape(N * C, S)
@@ -313,7 +311,8 @@ class LKBase(SearchMethod):
         # fenv = (ph, templ, H0) is loop-invariant: _update precomputes
         # it outside the iteration loop (and swaps in decimated packs
         # during coarse_pt_iters phases); rebuilt only on direct calls
-        ph, templ_ov, h0_ov = fenv if fenv is not None else (None,) * 3
+        ph, templ_ov, h0_ov, blur = (fenv if fenv is not None
+                                     else (None,) * 4)
         if ph is None:
             ph = jnp.concatenate(
                 [region.base_pts.T, jnp.ones((1, n), jnp.float32)])  # (3, N)
@@ -348,7 +347,8 @@ class LKBase(SearchMethod):
                  else state.am_state.template.reshape(-1))
         val, j, jtj = lk_fused_chain(frame_w, M0, ssm.generators, ph,
                                      templ, prm.interp[:-3],
-                                     interpret=not _tpu_compute())
+                                     interpret=not _tpu_compute(),
+                                     blur=int(blur or 0))
         # SSD: selft == std == -J^T J at the current J (d2f/dI2 = -I);
         # self0 is the cached template-J Hessian
         if prm.hess_type == "self0":
@@ -493,15 +493,20 @@ class LKBase(SearchMethod):
         blur_win = {}
         # fused bf16 fast path with no template learning: cast the SHARED
         # frame to bf16 BEFORE the crop (halves the serial crop-loop
-        # bytes and kills the separate (B, hc, wc) cast copy) and blur
-        # the SHARED frame for the coarse phases (the per-window blur was
-        # ~1 ms/update of (B, hc, wc) shift-add fusions at B=1024; the
-        # shared blur is unbatched under vmap, and cropping FROM the
-        # blurred full frame also matches the LKCache.coarse template
-        # convention exactly — those templates sample the full-frame
-        # blurred init frame, so the old window-edge-padded blur was the
-        # approximation). All variants crop in ONE stacked dynamic_slice
-        # per tracker.
+        # bytes and kills the separate (B, hc, wc) cast copy), blur the
+        # SHARED frame for the coarse phases (unbatched under vmap;
+        # cropping FROM the blurred full frame also matches the
+        # LKCache.coarse template convention — those templates sample
+        # the full-frame blurred init frame, so the old window-edge-
+        # padded per-window blur was the approximation), and crop all
+        # variants in ONE stacked dynamic_slice per tracker.
+        # r4 A/Bs of the alternatives at B=1024: per-window blur ~2.0
+        # ms/update (crop 0.91 + cast + 0.96 blur fusions), stacked
+        # crop 1.84 ms, and folding the blur into the kernel's tap
+        # weights (dense_sample._weights_dense blur taps, mathematically
+        # identical) 3.5x'd the coarse iterations — the (Wc, TN) weight
+        # build is the kernel's VPU bottleneck and 7 binomial taps
+        # multiply exactly that (log/prof_r4c.log: 36k fps vs 56k).
         fast_bf16 = (self._fused_ok(state, frame) and not prm.enable_lm
                      and not am.needs_update_model and frame.ndim == 2)
         if (prm.interp.endswith("_mm") and prm.crop is not None
@@ -511,9 +516,12 @@ class LKBase(SearchMethod):
             if hc < h or wc < w:
                 pts_t0 = ssm.warp_pts(state.ssm_state, state.region.base_pts)
                 pts0 = W.apply_warp(state.region.norm_mat, pts_t0)
-                x0 = jnp.clip(jnp.floor(jnp.min(pts0[:, 0])) - 2.0,
+                # margin 4: covers intra-update motion AND the widest
+                # blurred-tap support (stride-4 binomial radius 3 +
+                # linear 1)
+                x0 = jnp.clip(jnp.floor(jnp.min(pts0[:, 0])) - 4.0,
                               0.0, float(w - wc))
-                y0 = jnp.clip(jnp.floor(jnp.min(pts0[:, 1])) - 2.0,
+                y0 = jnp.clip(jnp.floor(jnp.min(pts0[:, 1])) - 4.0,
                               0.0, float(h - hc))
                 # NOTE (r3 trace A/Bs): this batched-start
                 # dynamic_slice lowers to a serial per-tracker loop
@@ -554,7 +562,7 @@ class LKBase(SearchMethod):
             base = state.region.base_pts
             ph_full = jnp.concatenate(
                 [base.T, jnp.ones((1, base.shape[0]), jnp.float32)])
-            fenv = (ph_full, None, None)
+            fenv = (ph_full, None, None, 0)
             if (not prm.enable_lm and frame_eff.ndim == 2
                     and frame_eff.dtype != jnp.bfloat16):
                 frame_eff = frame_eff.astype(jnp.bfloat16)
@@ -625,14 +633,15 @@ class LKBase(SearchMethod):
                 # phase template was sampled through (raw subsampling
                 # aliases fine texture and destabilizes the coarse GN
                 # steps at large motion; mismatched blurs shift the
-                # coarse optimum). The fast path above blurred the
-                # SHARED frame pre-crop (blur_win); otherwise blur the
-                # per-tracker window here.
+                # coarse optimum). Pre-blurred windows from the stacked
+                # crop when available (fast path), else blur here; the
+                # kernel's blurred-tap mode (fenv blur field) exists but
+                # measured 3.5x slower at fleet scale — see _update.
                 frame_s = blur_win.get(stride)
                 if frame_s is None:
                     frame_s = (self._blur2(frame_eff, stride)
                                if frame_eff.ndim == 2 else frame_eff)
-                fenv_s = (fenv[0][:, idx], templ_s, h0s)
+                fenv_s = (fenv[0][:, idx], templ_s, h0s, 0)
                 it_hi = min(it_hi + int(n_it), prm.max_iters)
 
                 def cond_s(c, hi=it_hi):

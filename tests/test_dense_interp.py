@@ -46,24 +46,39 @@ def test_mm_kind_via_sample(img_pts):
                                atol=1e-3)
 
 
-@pytest.mark.parametrize("kind", ["linear", "cubic", "cubic_bspl"])
-def test_pallas_kernel_matches(img_pts, kind):
-    from mtf_tpu.ops.pallas import sample_dense_pallas
+@pytest.mark.parametrize("kind", ["linear", "cubic"])
+@pytest.mark.parametrize("blur", [2, 4])
+def test_blurred_tap_weights_match_blurred_image(img_pts, kind, blur):
+    """dense_sample._weights_dense(blur=k) == plain taps on the
+    binomially blurred image (convolution commutes) — the identity the
+    chain kernel's blurred-tap mode relies on."""
+    from mtf_tpu.ops.pallas.dense_sample import _binomial_taps, \
+        _weights_dense
+    from mtf_tpu.sm.lk import LKBase
+
     img, pts = img_pts
-    v1, g1 = interp.sample_with_grad(img, pts, kind)
-    # f32 dots: exact parity with the gather path
-    v2, g2 = sample_dense_pallas(img, pts, kind, crop=128, interpret=True,
-                                 dot_dtype=jnp.float32)
-    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-3)
-    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-3)
-    # bf16 dots (the TPU default): bounded by weight/image quantization
-    # (~2^-8 relative; ~1 intensity level on 0-255 imagery)
-    scale = float(np.abs(np.asarray(img)).max())
-    v3, g3 = sample_dense_pallas(img, pts, kind, crop=128, interpret=True)
-    np.testing.assert_allclose(np.asarray(v1), np.asarray(v3),
-                               atol=2e-2 * scale)
-    np.testing.assert_allclose(np.asarray(g1), np.asarray(g3),
-                               atol=3e-2 * scale)
+    interior = pts[(np.asarray(pts)[:, 0] > 12)
+                   & (np.asarray(pts)[:, 0] < 115)
+                   & (np.asarray(pts)[:, 1] > 12)
+                   & (np.asarray(pts)[:, 1] < 115)]
+    t = jnp.arange(-8.0, 8.01, 0.37)
+    wb, _ = _weights_dense(t, kind, blur)
+    taps = _binomial_taps(blur)
+    r = (len(taps) - 1) // 2
+    ref = sum(float(c) * np.asarray(_weights_dense(t - (i - r), kind)[0])
+              for i, c in enumerate(taps))
+    np.testing.assert_allclose(np.asarray(wb), ref, atol=1e-5)
+    # end-to-end: blurred-tap sampling of the raw image == plain
+    # sampling of the blurred image (away from borders)
+    blurred = LKBase._blur2(img, blur)
+    v_plain = interp.sample(blurred, interior, "linear")
+    kx = jnp.arange(img.shape[1], dtype=jnp.float32)
+    ky = jnp.arange(img.shape[0], dtype=jnp.float32)
+    wx, _ = _weights_dense(kx[None, :] - interior[:, :1], "linear", blur)
+    wy, _ = _weights_dense(ky[None, :] - interior[:, 1:2], "linear", blur)
+    v_taps = jnp.einsum("nh,hw,nw->n", wy, img, wx)
+    np.testing.assert_allclose(np.asarray(v_taps),
+                               np.asarray(v_plain)[:, 0], atol=0.15)
 
 
 def test_lk_tracks_through_pallas_path(test_image):
