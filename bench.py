@@ -24,9 +24,10 @@ import time
 import numpy as np
 
 RES = 50            # reference default resx=resy=50
-B = 1024            # fleet width per chip (r3 sweep: 46.6k fps at 256,
-                    # 53.1k at 512, 54.6k at 1024 — the cheaper coarse-
-                    # schedule update amortizes fixed costs at width)
+B = 1280            # fleet width per chip (r4 same-session sweep with
+                    # the grp=32 coarse kernel: 60.2k fps at 1024,
+                    # 61.2k at 1280 — the grouped coarse phases keep
+                    # scaling past the r3 B=1024 peak)
 # accuracy-safe coarse-to-fine schedule: the r3 decision record rejected
 # ((4,7),(2,2)) (hard-cell max-err 0.64px vs 0.44px) for ~2.5% fps —
 # the headline ships the safe point and binds accuracy into its row
@@ -296,6 +297,8 @@ def main():
     chip_fps, headline_acc = _measure_chip()
     headline_acc = round(headline_acc, 3) if headline_acc is not None \
         else None
+    import jax
+    jax.clear_caches()   # free the B=1280 fleet programs before the rows
 
     rows = []
     # milestone configs (VERDICT r1 #3) — each row is best-effort and
@@ -312,11 +315,14 @@ def main():
             except Exception as e:  # pragma: no cover - best effort
                 rows.append({"metric": name, "error": repr(e)[:200]})
             finally:
-                # compiled executables pin their device constants; four
+                # compiled executables pin their device constants and a
+                # failed row's traceback pins its live arrays; four
                 # fleet programs accumulate to RESOURCE_EXHAUSTED on the
                 # chip (r4: nn1k/rklt rows OOMed after the headline +
                 # esm/pf rows)
+                import gc
                 import jax
+                gc.collect()
                 jax.clear_caches()
     except Exception:
         pass

@@ -245,12 +245,15 @@ def bench_nn1k():
     surface on smooth synthetic imagery ripples at ~1e-4 amplitude and
     the LM refiner stalls ~1.3 px from the optimum (r4 basin probes:
     8 bins -> inert, 32 -> 0.18 px residual from 2.5 px starts); bins
-    are a reference config knob (mi_n_bins), not a model change."""
+    are a reference config knob (mi_n_bins), not a model change.
+    B=32: MI's binned feature space scales the NN fleet dataset with
+    n_bins (64 trackers x 1000 samples x 625 px x 32 bins = 5.1 GB
+    f32 — the r4 RESOURCE_EXHAUSTED)."""
     return _row("nn1k_iclm_mi_hom8_frames_per_sec_per_chip",
                 ("nnic", "mi", "8"),
                 dict(resx=25, resy=25, nn_n_samples=1000, enable_lm=True,
                      max_iters=10, interp="linear_mm", crop=224,
-                     n_bins=32), B=64,
+                     n_bins=32), B=32,
                 acc_sigma=0.005, baseline="jax_cpu")
 
 
@@ -261,7 +264,7 @@ def bench_rklt():
                 ("rklt", "ssd", "8"),
                 dict(resx=50, resy=50, max_iters=10, epsilon=0.0,
                      interp="linear_mm", crop=160),
-                B=32, baseline="native_rklt")
+                B=128, baseline="native_rklt")
 
 
 EXTRA_CONFIGS = [

@@ -35,6 +35,16 @@ def _casc_thresh(cfg: dict) -> float | None:
     return float(v) if v is not None else None
 
 
+def _stride_pair(v):
+    """One coarse_pt_iters phase: (stride, iters) tuple or the cfg-file
+    string form "stride:iters" (e.g. `coarse_pt_iters 4:6,2:3`)."""
+    if isinstance(v, str):
+        a, b = v.split(":")
+        return (int(a), int(b))
+    s, n = v
+    return (int(s), int(n))
+
+
 def _sm_params(cfg: dict) -> SMParams:
     return SMParams(
         max_iters=int(cfg.get("max_iters", 30)),
@@ -48,7 +58,7 @@ def _sm_params(cfg: dict) -> SMParams:
                     else bool(cfg.get("use_pallas"))),
         interp_bf16=bool(cfg.get("interp_bf16", False)),
         coarse_pt_iters=tuple(
-            (int(s), int(n)) for s, n in cfg.get("coarse_pt_iters", ())),
+            _stride_pair(v) for v in cfg.get("coarse_pt_iters", ())),
         hess_type=str(cfg.get("hess_type", "selft")),
         jac_type=str(cfg.get("jac_type", "original")),
         enable_lm=bool(cfg.get("enable_lm", False)),

@@ -291,10 +291,12 @@ def _chain_kernel_one(kind, hc, wc, n_s, rpad, tn, n_valid, band, blur,
     g_ref[g_i, 0, 0, :] = g[:, 0]
     # J^T J at full precision: (S, TN)x(S, TN) is ~1M MACs (vs the 50M+
     # sampling dots) and the GN step solves against this matrix directly
+    # J^T J at DEFAULT (bf16-operand) precision: unlike the coordinate
+    # dots, H only steers the GN step — the r4 sweep measured +2.6% fps
+    # for 0.06 px corner movement, and the fleet GT leg stays ~0.1 px
     h_ref[g_i, 0, :, :] = jax.lax.dot_general(
         Jm, Jm, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)
+        preferred_element_type=jnp.float32)
 
 
 @functools.lru_cache(maxsize=None)
@@ -309,9 +311,10 @@ def _chain_core_for(kind: str, n_s: int, n_valid: int,
         # tracker grouping: decimated coarse phases (small N) are
         # launch/DMA-overhead-bound — at B=1024 the per-grid-step fixed
         # cost dominates a ~50 us compute payload. Packing `grp`
-        # trackers per grid step amortizes it; full-resolution calls
-        # keep grp=1 (their VMEM working set is already ~6 MB).
-        grp = 8 if (n_pad <= 1024 and band == hc) else 1
+        # trackers per grid step amortizes it (r4 same-session sweep:
+        # grp 8 -> 58.2k, 32 -> 60.1k fps); full-resolution calls keep
+        # grp=1 (their VMEM working set is already ~6 MB).
+        grp = 32 if (n_pad <= 1024 and band == hc) else 1
         while grp > 1 and b % grp:
             grp //= 2
         gb = b // grp
