@@ -264,7 +264,7 @@ def bench_rklt():
                 ("rklt", "ssd", "8"),
                 dict(resx=50, resy=50, max_iters=10, epsilon=0.0,
                      interp="linear_mm", crop=160),
-                B=128, baseline="native_rklt")
+                B=256, baseline="native_rklt")
 
 
 EXTRA_CONFIGS = [

@@ -69,3 +69,43 @@ def solve2x2(H: Array, b: Array, eps: float = 1e-12) -> Array:
     x0 = (H[1, 1] * b[0] - H[0, 1] * b[1]) / det
     x1 = (H[0, 0] * b[1] - H[1, 0] * b[0]) / det
     return jnp.stack([x0, x1])
+
+
+def inv3x3(M: Array) -> Array:
+    """Closed-form adjugate inverse of a 3x3 (batched via vmap).
+
+    `jnp.linalg.inv` lowers to an LU custom call on TPU — vmapped over
+    RANSAC hypotheses / fleet trackers those calls dominated the RKLT
+    update (r4 trace: ~70% of device time in linalg custom calls). The
+    cofactor form is ~40 fused VPU ops."""
+    a, b, c = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
+    d, e, f = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
+    g, h, i = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2]
+    A = e * i - f * h
+    B = -(d * i - f * g)
+    C = d * h - e * g
+    det = a * A + b * B + c * C
+    inv_det = 1.0 / det
+    rows = [
+        [A, -(b * i - c * h), b * f - c * e],
+        [B, a * i - c * g, -(a * f - c * d)],
+        [C, -(a * h - b * g), a * e - b * d],
+    ]
+    out = jnp.stack([jnp.stack([rows[r][cc] * inv_det for cc in range(3)],
+                               axis=-1) for r in range(3)], axis=-2)
+    return out
+
+
+def lstsq_normal(A: Array, b: Array, jitter: float = 1e-10) -> Array:
+    """Least-squares via normal equations + unrolled Cholesky — the
+    TPU-native replacement for `jnp.linalg.lstsq` on small-unknown
+    systems (DLT fits: <= ~8 unknowns; lstsq lowers to SVD/QR custom
+    calls). b may be (N,) or (N, K)."""
+    AtA = jnp.matmul(A.T, A, precision=jax.lax.Precision.HIGHEST)
+    Atb = jnp.matmul(A.T, b, precision=jax.lax.Precision.HIGHEST)
+    scale = jnp.trace(AtA) / AtA.shape[0]
+    AtA = AtA + (jitter * scale) * jnp.eye(AtA.shape[0], dtype=AtA.dtype)
+    if Atb.ndim == 1:
+        return chol_solve_small(AtA, Atb)
+    return jnp.stack([chol_solve_small(AtA, Atb[:, k])
+                      for k in range(Atb.shape[1])], axis=-1)

@@ -101,13 +101,23 @@ def homography_dlt(src: Array, dst: Array, weights: Array | None = None) -> Arra
     if weights is not None:
         wsq = jnp.sqrt(jnp.maximum(weights, 0.0))
         A = A * jnp.concatenate([wsq, wsq])[:, None]
-    # full_matrices=True: for the minimal 4-point case A is (8, 9) and the
-    # nullspace vector is the 9th right singular vector, which the reduced
-    # SVD does not return.
-    _, _, vt = jnp.linalg.svd(A, full_matrices=True)
-    h = vt[-1]
+    # TPU-native solve (r4): the earlier SVD formulation (nullspace of
+    # the (2N, 9) design) lowers to a LAPACK-style custom call that
+    # dominated the vmapped-RANSAC profile (~70% of the RKLT update).
+    # After Hartley normalization the homography is near-similarity, so
+    # the h22 = 1 gauge is always valid and the fit becomes an 8x8
+    # normal-equation solve on the unrolled Cholesky: AtA[:8,:8] h8 =
+    # -AtA[:8,8]. Exact on minimal 4-point samples (unique interpolant);
+    # for overdetermined refits it is the standard inhomogeneous-DLT
+    # least squares (gauge differs from ||h||=1 by O(residual^2)).
+    from mtf_tpu.ops.linalg import chol_solve_small, inv3x3
+    AtA = jnp.matmul(A.T, A, precision=jax.lax.Precision.HIGHEST)
+    scale = jnp.trace(AtA) / 9.0
+    M = AtA[:8, :8] + (1e-9 * scale) * jnp.eye(8, dtype=A.dtype)
+    h8 = chol_solve_small(M, -AtA[:8, 8])
+    h = jnp.concatenate([h8, jnp.ones((1,), A.dtype)])
     Wn = h.reshape(3, 3)
-    W = jnp.linalg.solve(Td, Wn @ Ts)
+    W = inv3x3(Td) @ Wn @ Ts
     return W / W[2, 2]
 
 
@@ -116,12 +126,13 @@ def affine_dlt(src: Array, dst: Array, weights: Array | None = None) -> Array:
 
     Ref: ``warpUtils::computeAffineDLT`` (warpUtils.h:71-74).
     """
+    from mtf_tpu.ops.linalg import lstsq_normal
     A = homogenize(src)  # (N, 3)
     if weights is not None:
         wsq = jnp.sqrt(jnp.maximum(weights, 0.0))[:, None]
-        sol = jnp.linalg.lstsq(A * wsq, dst * wsq)[0]  # (3, 2)
+        sol = lstsq_normal(A * wsq, dst * wsq)  # (3, 2)
     else:
-        sol = jnp.linalg.lstsq(A, dst)[0]
+        sol = lstsq_normal(A, dst)
     W = jnp.eye(3, dtype=src.dtype)
     return W.at[:2, :].set(sol.T)
 
@@ -143,7 +154,8 @@ def similitude_dlt(src: Array, dst: Array, weights: Array | None = None) -> Arra
         wsq2 = jnp.concatenate([wsq, wsq])
         A = A * wsq2[:, None]
         b = b * wsq2
-    a, bb, tx, ty = jnp.linalg.lstsq(A, b)[0]
+    from mtf_tpu.ops.linalg import lstsq_normal
+    a, bb, tx, ty = lstsq_normal(A, b)
     W = jnp.eye(3, dtype=src.dtype)
     return W.at[0, 0].set(a).at[0, 1].set(-bb).at[0, 2].set(tx) \
             .at[1, 0].set(bb).at[1, 1].set(a).at[1, 2].set(ty)

@@ -191,7 +191,7 @@ class SearchMethod:
         """Move the tracked region without touching the template
         (`TrackerBase::setRegion` / ssm->setCorners,
         SM/NT/SearchMethod.h:70-75)."""
-        Tinv = jnp.linalg.inv(state.region.norm_mat)
+        Tinv = __import__('mtf_tpu.ops.linalg', fromlist=['inv3x3']).inv3x3(state.region.norm_mat)
         c_t = W.apply_warp(Tinv, corners_img)
         new_ssm = self.ssm.fit_pts(state.region.base_corners, c_t)
         return state._replace(ssm_state=new_ssm)

@@ -367,7 +367,7 @@ class SubTrackerGrid(SearchMethod):
         corners_img = jax.vmap(
             lambda s: image_corners(self.sub.ssm, s))(sub_states)  # (P,4,2)
         centers_img = jnp.mean(corners_img, axis=1)
-        Tinv = jnp.linalg.inv(region.norm_mat)
+        Tinv = __import__('mtf_tpu.ops.linalg', fromlist=['inv3x3']).inv3x3(region.norm_mat)
         centers_t = W.apply_warp(Tinv, centers_img)
 
         scale = region.norm_mat[0, 0]

@@ -51,10 +51,12 @@ def _sqrtm_db(A: Array, iters: int = 10) -> Array:
     """Denman-Beavers iteration for the principal matrix square root."""
     I = jnp.eye(3, dtype=A.dtype)
 
+    from mtf_tpu.ops.linalg import inv3x3
+
     def step(_, yz):
         Y, Z = yz
-        Yn = 0.5 * (Y + jnp.linalg.inv(Z))
-        Zn = 0.5 * (Z + jnp.linalg.inv(Y))
+        Yn = 0.5 * (Y + inv3x3(Z))
+        Zn = 0.5 * (Z + inv3x3(Y))
         return Yn, Zn
 
     Y, _ = jax.lax.fori_loop(0, iters, step, (A, I))
@@ -124,7 +126,8 @@ class SSM:
             precision=jax.lax.Precision.HIGHEST))
 
     def invert(self, state: Array) -> Array:
-        return self.from_matrix(jnp.linalg.inv(self.to_matrix(state)))
+        from mtf_tpu.ops.linalg import inv3x3
+        return self.from_matrix(inv3x3(self.to_matrix(state)))
 
     def compositional_update(self, state: Array, dp: Array) -> Array:
         """p <- p ∘ dp. Reference: `compositionalUpdate` (Homography.cc:73-92)."""
@@ -132,8 +135,9 @@ class SSM:
 
     def inverse_compositional_update(self, state: Array, dp: Array) -> Array:
         """p <- p ∘ dp^-1 (ICLK update; SSM/StateSpaceModel.h contract)."""
+        from mtf_tpu.ops.linalg import inv3x3
         return self.from_matrix(jnp.matmul(
-            self.to_matrix(state), jnp.linalg.inv(self.to_matrix(dp)),
+            self.to_matrix(state), inv3x3(self.to_matrix(dp)),
             precision=jax.lax.Precision.HIGHEST))
 
     def additive_update(self, state: Array, dp: Array) -> Array:
