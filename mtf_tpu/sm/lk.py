@@ -248,17 +248,24 @@ class LKBase(SearchMethod):
         S = self.ssm.dof
         coarse = ()
         if self.prm.coarse_pt_iters:
-            # per-phase blurred templates + self0 Hessians on the
-            # decimated grids; the fused path is SSD/grayscale so the GN
-            # self-Hessian is -J^T J and the decimated g = J_s^T r_s
-            # pairs with -J_s^T J_s. Cached at init (learning_rate must
-            # be 0 or the cached templates would go stale).
+            # per-phase blurred templates + self0 Hessians + template
+            # Jacobians on the decimated grids. Generic over stateless
+            # single-channel AMs (r4): the self Hessian comes from
+            # _hess_contract on an AM state initialized from the blurred
+            # decimated template (for SSD this equals the -J^T J the
+            # fused kernel pairs with — f = -||r||^2/2 exactly), and the
+            # packed J0_s serves the ICLK/ESM template-Jacobian paths.
+            # Cached at init (learning_rate must be 0 or the cached
+            # templates would go stale).
             ry, rx = self.am.prm.resy, self.am.prm.resx
             n = state.region.base_pts.shape[0]
             c_ch = patch0.shape[1] if patch0.ndim == 2 else 1
-            if (c_ch == 1 and n == ry * rx and self.am.name == "ssd"
+            if (c_ch == 1 and n == ry * rx
                     and self.am.ilm.n_params == 0
+                    and not self.am.needs_update_model
                     and self.am.prm.learning_rate == 0.0
+                    and not self.prm.spi_type
+                    and self.prm.hess_type != "std2"
                     and frame.ndim == 2):
                 packs = []
                 for stride, _ in self.prm.coarse_pt_iters:
@@ -268,7 +275,9 @@ class LKBase(SearchMethod):
                         state.region, self.ssm.identity(),
                         self.am.ilm.identity_params(), fr_b)
                     Js = J_b[:, :S][idx]
-                    packs.append((p_b.reshape(-1)[idx], -(Js.T @ Js)))
+                    st_s = self.am.init(p_b[idx])
+                    H0_s = self._hess_contract(st_s, p_b[idx], Js)
+                    packs.append((p_b.reshape(-1)[idx], H0_s, Js))
                 coarse = tuple(packs)
         return LKCache(J0=J_full[:, :S], H0=H0, coarse=coarse)
 
@@ -363,7 +372,7 @@ class LKBase(SearchMethod):
 
     # -- one GN/LM iteration -------------------------------------------
     def _iteration(self, state: TrackerState, frame: Array, carry: _LKCarry,
-                   offset=None, fenv=None):
+                   offset=None, fenv=None, phase=None):
         if self._fused_ok(state, frame):
             return self._iteration_fused(state, frame, carry, offset, fenv)
         am, ssm, prm = self.am, self.ssm, self.prm
@@ -371,9 +380,19 @@ class LKBase(SearchMethod):
         q_dim = S + P
         st0 = state.am_state._replace(p_am=carry.p_am)
         cache: LKCache = state.extra
+        region = state.region
+        if phase is not None:
+            # coarse_pt_iters phase on the GENERIC path (r4): decimated
+            # base points, AM state rebuilt from the cached blurred
+            # template (stateless AMs only — gated at pack build), and
+            # the cached decimated self0 Hessian / template Jacobian
+            idx, templ_s, h0s, j0s = phase
+            region = region._replace(base_pts=region.base_pts[idx])
+            st0 = am.init(templ_s[:, None])._replace(p_am=carry.p_am)
+            cache = cache._replace(J0=j0s, H0=h0s)
 
         patch, J = self._patch_and_jac(
-            state.region, carry.ssm_state, carry.p_am, frame, offset)
+            region, carry.ssm_state, carry.p_am, frame, offset)
 
         # SPI: per-pixel weights gating Jacobian/gradient rows
         # (spiUtils masks; weighted GN solves J^T W^2 J dp = J^T W^2 r)
@@ -581,11 +600,11 @@ class LKBase(SearchMethod):
             return jnp.logical_and(c.it < prm.max_iters,
                                    jnp.logical_not(c.done))
 
-        def body(c: _LKCarry, fenv_b=None, frame_b=None):
+        def body(c: _LKCarry, fenv_b=None, frame_b=None, phase_b=None):
             dq, patch, j = self._iteration(
                 state, frame_b if frame_b is not None else frame_eff,
                 c, offset,
-                fenv_b if fenv_b is not None else fenv)
+                fenv_b if fenv_b is not None else fenv, phase_b)
             new_ssm, new_pam = self._apply_dq(c.ssm_state, c.p_am, dq)
             if prm.epsilon <= 0.0 and not prm.enable_lm:
                 # fixed-iteration mode: the convergence test is dead
@@ -619,14 +638,19 @@ class LKBase(SearchMethod):
         # coarse-to-fine point-decimation phases (SMParams.coarse_pt_iters):
         # early GN iterations on the stride-decimated grid at ~1/stride^2
         # cost, then the full-resolution remainder of max_iters sets the
-        # converged fixed point
+        # converged fixed point. Works on BOTH execution paths (r4): the
+        # fused kernel gets a decimated fenv; the generic XLA path gets a
+        # `phase` override (decimated points + cached blurred template +
+        # decimated self0 Hessian / template Jacobian).
         carry = init
-        if fenv is None:
-            phases = ()
+        if phases and fenv is None and (state.spi_mask is not None
+                                        or frame_eff.ndim != 2):
+            phases = ()       # generic phases need plain 2D + no mask
         if phases:
             ry, rx = am.prm.resy, am.prm.resx
             it_hi = 0
-            for (stride, n_it), (templ_s, h0s) in phases:
+            for (stride, n_it), pack in phases:
+                templ_s, h0s, j0s = pack
                 idx = self._coarse_idx(ry, rx, stride)
                 # anti-aliased pyramid-in-N: the window is low-passed
                 # with the SAME pixel-unit binomial kernel the cached
@@ -641,15 +665,20 @@ class LKBase(SearchMethod):
                 if frame_s is None:
                     frame_s = (self._blur2(frame_eff, stride)
                                if frame_eff.ndim == 2 else frame_eff)
-                fenv_s = (fenv[0][:, idx], templ_s, h0s, 0)
+                if fenv is not None:
+                    fenv_s = (fenv[0][:, idx], templ_s, h0s, 0)
+                    phase_s = None
+                else:
+                    fenv_s = None
+                    phase_s = (idx, templ_s, h0s, j0s)
                 it_hi = min(it_hi + int(n_it), prm.max_iters)
 
                 def cond_s(c, hi=it_hi):
                     return jnp.logical_and(c.it < hi,
                                            jnp.logical_not(c.done))
 
-                def body_s(c, fe=fenv_s, fr=frame_s):
-                    return body(c, fe, fr)
+                def body_s(c, fe=fenv_s, fr=frame_s, ph=phase_s):
+                    return body(c, fe, fr, ph)
 
                 carry = jax.lax.while_loop(cond_s, body_s, carry)
             # a decimated/blurred coarse phase may have latched done=True

@@ -53,6 +53,31 @@ def test_rct_state_is_pytree():
     assert np.all(np.isfinite(np.asarray(st2.mu_pos)))
 
 
+@pytest.mark.parametrize("key,am", [("esm", "ncc"), ("iclk", "ssd")])
+def test_generic_coarse_pt_iters_matches_full(key, am):
+    """r4: coarse_pt_iters on the GENERIC (XLA dense) path — previously
+    fused-SSD-only. The decimated phases must land within a fraction of
+    a pixel of the full-resolution schedule (and the final full-res
+    iterations set the fixed point)."""
+    from mtf_tpu.utils import synth
+    img = _scene(3)
+    from mtf_tpu.ssm import get_ssm
+    frames, gt = synth.synthetic_sequence(img, CORNERS0, get_ssm("8"),
+                                          n_frames=5, sigma_scale=0.01,
+                                          seed=5)
+    base = dict(resx=50, resy=50, max_iters=10, epsilon=0.0,
+                interp="linear_mm", crop=144)
+    errs = {}
+    for tag, kw in [("full", {}),
+                    ("coarse", dict(coarse_pt_iters=((4, 6), (2, 3))))]:
+        trk = mtf_tpu.create_tracker(key, am, "8", **base, **kw)
+        assert (tag == "full") or trk.initialize(
+            frames[0], jnp.asarray(gt[0])).extra.coarse, \
+            "coarse packs missing on the generic path"
+        errs[tag] = np.mean(_track(trk, frames, gt))
+    assert errs["coarse"] < errs["full"] + 0.3, errs
+
+
 def test_mil_tracks_translation():
     """Online MILBoost (ThirdParty/MIL analog) recovers a translating
     target; the per-frame boost selects distinct pool features."""
