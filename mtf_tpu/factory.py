@@ -117,6 +117,7 @@ def _pf_params(cfg: dict, n_particles: int | None = None) -> PFParams:
         measurement_sigma=float(cfg.get("pf_measurement_sigma", 0.1)),
         jacobian_as_sigma=bool(cfg.get("pf_jacobian_as_sigma", False)),
         am_sigma=tuple(cfg.get("pf_am_sigma", ())),
+        score_stride=int(cfg.get("pf_score_stride", 1)),
         seed=int(cfg.get("seed", 0)),
     )
 
@@ -134,11 +135,20 @@ def _nn_params(cfg: dict, n_samples: int | None = None) -> NNParams:
     )
 
 
+def _sub_iters(v):
+    """grid_sub_iters accepts an int or a per-pyramid-level tuple
+    (level 0 = full resolution; see GridParams.sub_iters)."""
+    if isinstance(v, (tuple, list)):
+        return tuple(int(x) for x in v)
+    return int(v)
+
+
 def _grid_params(cfg: dict, estimator: str | None = None) -> GridParams:
     return GridParams(
         grid_res=int(cfg.get("grid_res", 10)),
         patch_res=int(cfg.get("grid_patch_res", 8)),
-        sub_iters=int(cfg.get("grid_sub_iters", 10)),
+        sub_iters=_sub_iters(cfg.get("grid_sub_iters", 10)),
+        coarse_point_stride=int(cfg.get("grid_coarse_stride", 1)),
         estimator=str(estimator or cfg.get("grid_estimator", "ransac")),
         n_hyps=int(cfg.get("grid_n_hyps", 64)),
         inlier_thresh_px=float(cfg.get("grid_inlier_thresh", 2.0)),

@@ -64,7 +64,9 @@ class ShardedPF(PF):
             ps = PFState(particles=part, prev_particles=part,
                          log_weights=part, key=repl,
                          distr_log_w=repl,
-                         am_particles=part if self._sample_am else repl)
+                         am_particles=part if self._sample_am else repl,
+                         score_am=jax.tree.map(
+                             lambda _: repl, state.extra.score_am))
             return TrackerState(ssm_state=repl, am_state=jax.tree.map(
                 lambda _: repl, state.am_state), region=jax.tree.map(
                 lambda _: repl, state.region), extra=ps)
@@ -157,10 +159,11 @@ class ShardedPF(PF):
                               ps.am_particles, ps.log_weights, ps.key,
                               ps.distr_log_w, frame, sigma)
 
+        new_am, new_score = self._learn_mean_patch(
+            state, am_state, mean_state, frame, ps.score_am)
         new_extra = PFState(particles=prop, prev_particles=prev_out,
                             log_weights=log_w, key=key,
-                            distr_log_w=new_dlw, am_particles=am_prop)
+                            distr_log_w=new_dlw, am_particles=am_prop,
+                            score_am=new_score)
         new_state = state._replace(ssm_state=mean_state, extra=new_extra)
-        return new_state._replace(
-            am_state=self._learn_mean_patch(state, am_state, mean_state,
-                                            frame))
+        return new_state._replace(am_state=new_am)

@@ -36,7 +36,22 @@ class GridParams:
     grid_res: int = 10          # grid_res x grid_res patch centers
     patch_res: int = 8          # sub-patch sampling resolution
     patch_scale: float = 1.0    # sub-patch half-size in center-spacing units
-    sub_iters: int = 10         # LK iterations per sub-tracker
+    sub_iters: int | tuple = 10  # LK iterations per sub-tracker; a tuple
+                                # gives a per-pyramid-level schedule
+                                # indexed by level (0 = full resolution,
+                                # last entry reused for deeper levels):
+                                # coarse levels absorb the large motion,
+                                # so the full-res level only needs a few
+                                # polish iterations (r4: (3, 10) on the
+                                # RKLT config is ~35% fewer joint
+                                # iterations at equal fit accuracy)
+    coarse_point_stride: int = 1  # >1: subsample each patch's point grid
+                                # by this stride at pyramid levels >= 1
+                                # (the level-l frame is already low-passed
+                                # by the pyramid resize, so the full
+                                # patch_res^2 grid oversamples it; fewer
+                                # points = proportionally smaller dense
+                                # contractions)
     estimator: str = "ransac"   # ransac | lmeds | lsq (SSMEstimatorParams)
     n_hyps: int = 64
     inlier_thresh_px: float = 2.0   # image-pixel inlier threshold
@@ -183,17 +198,39 @@ class GridTracker(SearchMethod):
         s = 1.0 / (2 ** lvl)
         return jnp.diag(jnp.asarray([s, s, 1.0], norm_mat.dtype)) @ norm_mat
 
+    def _point_subset(self, lvl):
+        """Static point-index subset for pyramid level `lvl` (None = all).
+        The offsets grid is row-major patch_res x patch_res, so a stride-s
+        subset is a static fancy index — no dynamic shapes under jit."""
+        s = self.grid.coarse_point_stride
+        if lvl == 0 or s <= 1:
+            return None
+        import numpy as np
+        res = self.grid.patch_res
+        r = np.arange(0, res, s)
+        return jnp.asarray((r[:, None] * res + r[None, :]).ravel())
+
     def _track_patches_pyr(self, frame, norm_mat, pts_base, templates,
                            n_iters):
         """Coarse-to-fine flow over the pyramid (GridTrackerCV.cc:208-275);
         points live in the scale-free template frame so they carry across
-        levels unchanged. Returns the accumulated (P, 2) corrections."""
+        levels unchanged. Returns the accumulated (P, 2) corrections.
+        `n_iters` may be a per-level schedule (see GridParams.sub_iters);
+        coarse levels may run on a decimated point grid
+        (GridParams.coarse_point_stride)."""
         frames = self._pyr_frames(frame)
         disp = jnp.zeros((pts_base.shape[0], 2), jnp.float32)
         for lvl in reversed(range(self.grid.pyramid_levels)):
+            sel = self._point_subset(lvl)
+            pb = pts_base if sel is None else pts_base[:, sel]
+            tm = templates[lvl] if sel is None else templates[lvl][:, sel]
+            if isinstance(n_iters, (tuple, list)):
+                it = int(n_iters[min(lvl, len(n_iters) - 1)])
+            else:
+                it = int(n_iters)
             disp = disp + self._track_patches(
                 frames[lvl], self._level_norm(norm_mat, lvl),
-                pts_base + disp[:, None, :], templates[lvl], n_iters)
+                pb + disp[:, None, :], tm, it)
         return disp
 
     def _templates_at(self, frame, norm_mat, centers, offsets):

@@ -55,6 +55,16 @@ class PFParams:
                                       # stochastic-sampler API analog
                                       # (AppearanceModel.h:303-325 +
                                       # IlluminationModel sampler-sigma)
+    score_stride: int = 1             # >1: measure particle likelihoods on
+                                      # a stride-decimated point grid (a
+                                      # coarser measurement model; the
+                                      # particle sampling pass is the PF's
+                                      # dominant cost on TPU and scales
+                                      # with the point count). The mean-
+                                      # state estimate, resampling and
+                                      # template learning are unchanged;
+                                      # requires an AM constructible as
+                                      # type(am)(params, ilm).
     seed: int = 0
 
 
@@ -66,6 +76,8 @@ class PFState(NamedTuple):
     distr_log_w: Array = None  # (D,) adaptive sampler-distribution weights
     am_particles: Array = None  # (P, P_am) photometric particles ((P, 0)
                                 # when AM-state sampling is off)
+    score_am: object = None     # decimated-grid AMState for particle
+                                # scoring (score_stride > 1 only)
 
 
 class PF(SearchMethod):
@@ -74,6 +86,25 @@ class PF(SearchMethod):
     def __init__(self, am, ssm, prm=None, pf: PFParams | None = None):
         super().__init__(am, ssm, prm)
         self.pf = pf or PFParams()
+        s = self.pf.score_stride
+        if s > 1:
+            # decimated measurement grid: particle likelihoods are scored
+            # at every s-th template point (row-major (resy, resx) grid,
+            # static indices), against an AM of the decimated resolution.
+            # The sampling pass dominates the PF's device profile and its
+            # cost is linear in the point count.
+            from dataclasses import replace as _replace
+            import numpy as np
+            ry, rx = self.am.prm.resy, self.am.prm.resx
+            r, c = np.arange(0, ry, s), np.arange(0, rx, s)
+            self._score_idx = jnp.asarray(
+                (r[:, None] * rx + c[None, :]).ravel())
+            self._score_am = type(self.am)(
+                _replace(self.am.prm, resx=len(c), resy=len(r)),
+                self.am.ilm)
+        else:
+            self._score_idx = None
+            self._score_am = self.am
 
     # -- helpers -------------------------------------------------------
     def _sigma(self, region) -> Array:
@@ -90,7 +121,8 @@ class PF(SearchMethod):
         pts = W.apply_warp(region.norm_mat, pts_t)
         return interp.sample(frame, pts, self.prm.interp, self.prm.border)
 
-    def _particle_patches(self, region, states, frame, reduce_axis=None):
+    def _particle_patches(self, region, states, frame, reduce_axis=None,
+                          base_pts=None):
         """(P, N, C) patches + (P,) in-window validity for the particle
         population.
 
@@ -108,10 +140,16 @@ class PF(SearchMethod):
         `reduce_axis`: shard_map axis name to pmin/pmax the point-cloud
         extent over, so every shard of a sharded population anchors the
         SAME window and per-particle validity is shard-layout-invariant
-        (ShardedPF passes its particle axis)."""
+        (ShardedPF passes its particle axis).
+
+        `base_pts`: template-frame points to sample per particle
+        (defaults to the full region grid; the decimated scoring path
+        passes the stride subset)."""
+        if base_pts is None:
+            base_pts = region.base_pts
         P = states.shape[0]
         pts_t = jax.vmap(
-            lambda s: self.ssm.warp_pts(s, region.base_pts))(states)
+            lambda s: self.ssm.warp_pts(s, base_pts))(states)
         pts = W.apply_warp(region.norm_mat, pts_t.reshape(-1, 2))
         prm = self.prm
         ok = jnp.ones((P,), bool)
@@ -146,12 +184,13 @@ class PF(SearchMethod):
             val = interp.sample(frame, pts, prm.interp, prm.border)
         return val.reshape(P, -1, val.shape[-1]), ok
 
-    def _log_lik(self, am_state, patch, p_am=None):
+    def _log_lik(self, am_state, patch, p_am=None, am=None):
+        am = am or self.am
         st = (am_state if p_am is None or p_am.shape[-1] == 0
               else am_state._replace(p_am=p_am))
-        f = self.am.f(st, patch)
+        f = am.f(st, patch)
         if self.pf.likelihood == "am":
-            return jnp.log(self.am.likelihood(st, patch) + 1e-30)
+            return jnp.log(am.likelihood(st, patch) + 1e-30)
         if self.pf.likelihood == "gaussian":
             return f / (2.0 * self.pf.measurement_sigma ** 2)
         # reciprocal: 1/(1 - f) style for similarities peaking at high f
@@ -168,13 +207,21 @@ class PF(SearchMethod):
         D = max(1, len(self.pf.ssm_sigmas))
         am_p = (jnp.tile(state.am_state.p_am[None, :], (P, 1))
                 if self._sample_am else jnp.zeros((P, 0), jnp.float32))
+        score = None
+        if self._score_idx is not None:
+            # decimated-grid scoring template = the stride subset of the
+            # full template (identical values to sampling the init frame
+            # at the decimated points)
+            score = self._score_am.init(
+                state.am_state.template[self._score_idx])
         return PFState(
             particles=particles,
             prev_particles=particles,
             log_weights=jnp.full((P,), -jnp.log(P), jnp.float32),
             key=jax.random.PRNGKey(self.pf.seed),
             distr_log_w=jnp.full((D,), -jnp.log(D), jnp.float32),
-            am_particles=am_p)
+            am_particles=am_p,
+            score_am=score)
 
     # -- update pieces (shared with parallel.pf_shard.ShardedPF) --------
     def _effective_sigma(self, state: TrackerState, frame: Array) -> Array:
@@ -241,10 +288,20 @@ class PF(SearchMethod):
             prop = jax.vmap(lambda k, s, sg: ssm.random_walk(
                 k, s, sg, compositional))(prop_keys, particles, sig_p)
 
+        ps: PFState = state.extra
+        if self._score_idx is not None and ps.score_am is not None:
+            # decimated measurement model: sample + score every particle
+            # on the stride subset (the sampling pass is the PF's
+            # dominant cost and is linear in points)
+            bp = state.region.base_pts[self._score_idx]
+            sc_am, sc_st = self._score_am, ps.score_am
+        else:
+            bp, sc_am, sc_st = None, self.am, state.am_state
         patches, valid = self._particle_patches(state.region, prop, frame,
-                                                reduce_axis=reduce_axis)
+                                                reduce_axis=reduce_axis,
+                                                base_pts=bp)
         log_lik = jax.vmap(
-            lambda p, pa: self._log_lik(state.am_state, p, pa))(
+            lambda p, pa: self._log_lik(sc_st, p, pa, am=sc_am))(
                 patches, am_prop)
         return prop, log_lik, valid
 
@@ -290,26 +347,41 @@ class PF(SearchMethod):
          am_state) = self._finish(state, prop, ps.particles, am_prop,
                                   log_w, d_idx, ps.distr_log_w, k_res)
 
+        new_am, new_score = self._learn_mean_patch(
+            state, am_state, mean_state, frame, ps.score_am)
         new_extra = PFState(particles=prop, prev_particles=prev_out,
                             log_weights=log_w, key=key,
-                            distr_log_w=new_dlw, am_particles=am_prop)
+                            distr_log_w=new_dlw, am_particles=am_prop,
+                            score_am=new_score)
         new_state = state._replace(ssm_state=mean_state, extra=new_extra)
-        return new_state._replace(
-            am_state=self._learn_mean_patch(state, am_state, mean_state,
-                                            frame))
+        return new_state._replace(am_state=new_am)
 
-    def _learn_mean_patch(self, state, am_state, mean_state, frame):
+    def _learn_mean_patch(self, state, am_state, mean_state, frame,
+                          score_am_state=None):
         """Template learning on the mean-state patch, gated on the crop
         window: when the target sits near the frame border the window
         clamps, and with learning_rate>0 the template would learn
         edge-clamped garbage — exactly the failure `_apply_window_mask`
         exists to prevent, so an out-of-window mean patch skips the
-        update (keeps the old AM state leaf-for-leaf)."""
+        update (keeps the old AM state leaf-for-leaf). The decimated
+        scoring template (score_stride > 1) learns the stride subset of
+        the same mean patch. With learning off this is a no-op and the
+        extra mean-patch sampling pass is skipped entirely."""
+        if not self.am.needs_update_model:
+            return am_state, score_am_state
         patches, pvalid = self._particle_patches(
             state.region, mean_state[None, :], frame)
         new_am = self.am.update_model(am_state, patches[0])
-        return jax.tree.map(lambda a, b: jnp.where(pvalid[0], a, b),
-                            new_am, am_state)
+        new_am = jax.tree.map(lambda a, b: jnp.where(pvalid[0], a, b),
+                              new_am, am_state)
+        new_score = score_am_state
+        if score_am_state is not None:
+            ns = self._score_am.update_model(
+                score_am_state, patches[0][self._score_idx])
+            new_score = jax.tree.map(
+                lambda a, b: jnp.where(pvalid[0], a, b), ns,
+                score_am_state)
+        return new_am, new_score
 
     def _finish(self, state, prop, prev_particles, am_prop, log_w, d_idx,
                 distr_log_w, k_res):

@@ -228,3 +228,47 @@ def test_cascade_auto_reinit(test_image):
     assert np.all(np.isfinite(out))
     # static scene: final estimate stays within the reinit threshold
     assert float(np.max(np.abs(out - np.asarray(c)))) < 6.0
+
+
+def test_grid_per_level_schedule_and_coarse_stride(base_image):
+    """Per-pyramid-level sub_iters schedules + coarse point decimation
+    (GridParams.sub_iters tuple / coarse_point_stride) track as well as
+    the flat schedule: the coarse level absorbs the large motion, so the
+    full-res level only polishes, and the pyramid-low-passed coarse frame
+    is oversampled by the full patch grid."""
+    ssm_gen = get_ssm("hom")
+    frames, gt = synthetic_sequence(base_image, jnp.asarray(CORNERS0),
+                                    ssm_gen, n_frames=5, sigma_scale=0.01,
+                                    seed=21)
+    am = get_am("ssd", AMParams(resx=8, resy=8))
+    flat = GridTracker(am, get_ssm("hom"),
+                       grid=GridParams(grid_res=8, patch_res=8, sub_iters=8))
+    sched = GridTracker(am, get_ssm("hom"),
+                        grid=GridParams(grid_res=8, patch_res=8,
+                                        sub_iters=(3, 8),
+                                        coarse_point_stride=2))
+    errs_flat, _ = run(flat, frames, gt)
+    errs_sched, _ = run(sched, frames, gt)
+    assert max(errs_sched) < 3.0, f"errors {errs_sched}"
+    assert max(errs_sched) <= max(errs_flat) + 0.5
+
+
+def test_rklt_grid_schedule_factory_knobs(base_image):
+    """rklt with grid_sub_iters tuple + grid_coarse_stride (the r4 bench
+    configuration) stays within the flat-schedule accuracy budget."""
+    from mtf_tpu import create_tracker
+    ssm_gen = get_ssm("hom")
+    frames, gt = synthetic_sequence(base_image, jnp.asarray(CORNERS0),
+                                    ssm_gen, n_frames=4, sigma_scale=0.008,
+                                    seed=31)
+    sm = create_tracker("rklt", "ssd", "8", resx=25, resy=25,
+                        max_iters=10, epsilon=0.0,
+                        grid_sub_iters=(2, 8), grid_coarse_stride=2)
+    state = sm.initialize(frames[0], jnp.asarray(gt[0]))
+    update = jax.jit(sm.update)
+    errs = []
+    for t in range(1, len(frames)):
+        state = update(state, frames[t])
+        errs.append(mean_corner_distance(
+            np.asarray(sm.corners(state)).T, gt[t]))
+    assert max(errs) < 2.0, f"errors {errs}"

@@ -258,3 +258,27 @@ def test_pf_am_state_sampling(base_image):
     # the mean photometric state should move off identity toward the drift
     assert float(jnp.abs(state.am_state.p_am).sum()) > 1e-3
     assert max(errs) < 4.0, f"with AM sampling: {errs}"
+
+
+def test_pf_score_stride_decimated_measurement(base_image):
+    """PFParams.score_stride > 1 scores particle likelihoods on a
+    stride-decimated point grid (the dominant device cost of the PF is
+    the particle sampling pass, linear in points) without degrading
+    tracking: the likelihood only ranks particles. Template learning
+    keeps the decimated scoring template in sync with the full one."""
+    ssm = get_ssm("trans")
+    frames, gt = synthetic_sequence(base_image, jnp.asarray(CORNERS0), ssm,
+                                    n_frames=6, sigma_scale=0.03, seed=11)
+    am = get_am("ncc", AMParams(resx=RES, resy=RES, learning_rate=0.05))
+    base = dict(n_particles=400, pix_sigma=4.0, likelihood="gaussian",
+                measurement_sigma=0.05)
+    full = PF(am, get_ssm("trans"), pf=PFParams(**base))
+    dec = PF(am, get_ssm("trans"), pf=PFParams(score_stride=2, **base))
+    errs_full, _ = run(full, frames, gt)
+    errs_dec, st = run(dec, frames, gt)
+    assert max(errs_dec) < 3.0, f"errors {errs_dec}"
+    assert max(errs_dec) <= max(errs_full) + 1.0
+    # decimated scoring template tracked the learned full template
+    sub = np.asarray(st.am_state.template)[np.asarray(dec._score_idx)]
+    assert np.allclose(np.asarray(st.extra.score_am.template), sub,
+                       atol=1e-5)
