@@ -209,7 +209,9 @@ def _row(metric, sm_args, sm_kwargs, B, acc_sigma=0.01, baseline=None):
             # ratio (r4: pf500 measured 0.74 fps with them)
             cpu_kwargs = {k: v for k, v in sm_kwargs.items()
                           if k not in ("interp", "crop", "use_pallas",
-                                       "coarse_pt_iters", "interp_bf16")}
+                                       "coarse_pt_iters", "interp_bf16",
+                                       "pf_score_stride", "grid_sub_iters",
+                                       "grid_coarse_stride")}
             denom, kind = _jaxcpu_cfg_fps(metric, sm_args, cpu_kwargs), \
                 "jax_cpu_1core"
         row["vs_baseline"] = round(fps / denom, 2)
@@ -235,11 +237,16 @@ def bench_esm_ncc():
 
 def bench_pf500():
     """BASELINE config #4 (single-chip half): PF(500) + FCLM/SSIM/hom —
-    the reference headline config (ReadMe.md:434, LinTrack towel)."""
+    the reference headline config (ReadMe.md:434, LinTrack towel).
+    pf_score_stride=2: likelihoods on the 13x13 stride subset (r4
+    session-2 chip A/B at B=32: 1,287 -> 2,685 fps at equal accuracy,
+    0.289 vs 0.292 px; stride 3 degrades to 0.52 px — rejected,
+    log/ab_round2.log)."""
     return _row("pf500_fclm_ssim_hom8_frames_per_sec_per_chip",
                 ("pffc", "ssim", "8"),
                 dict(resx=25, resy=25, pf_n_particles=500, enable_lm=True,
-                     max_iters=10, interp="linear_mm", crop=256), B=32,
+                     max_iters=10, interp="linear_mm", crop=256,
+                     pf_score_stride=2), B=32,
                 acc_sigma=0.005, baseline="jax_cpu")
 
 
@@ -263,11 +270,16 @@ def bench_nn1k():
 
 def bench_rklt():
     """BASELINE config #5 (single-chip half): RKLT = grid + RANSAC +
-    template ESM refiner."""
+    template ESM refiner. Grid schedule (1, 8) + coarse point stride 2
+    (r4 session-2 chip sweep at B=256: flat-10 2,790 -> 5,514 fps at
+    equal synthetic accuracy, log/ab_round2.log — the coarse pyramid
+    level absorbs the motion, the ESM refiner polishes, so one full-res
+    grid iteration suffices)."""
     return _row("rklt_ssd_hom8_frames_per_sec_per_chip",
                 ("rklt", "ssd", "8"),
                 dict(resx=50, resy=50, max_iters=10, epsilon=0.0,
-                     interp="linear_mm", crop=160),
+                     interp="linear_mm", crop=160,
+                     grid_sub_iters=(1, 8), grid_coarse_stride=2),
                 B=256, baseline="native_rklt")
 
 
