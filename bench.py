@@ -326,9 +326,17 @@ def main():
                     text=True, cwd=here,
                     timeout=max(60.0, budget_s -
                                 (time.perf_counter() - t_start)))
-                line = [ln for ln in out.stdout.splitlines()
-                        if ln.startswith("BENCHROW ")][-1]
-                rows.append(json.loads(line[len("BENCHROW "):]))
+                lines = [ln for ln in out.stdout.splitlines()
+                         if ln.startswith("BENCHROW ")]
+                if not lines:
+                    # surface the subprocess's actual failure (import
+                    # error, OOM, tunnel drop) instead of an IndexError
+                    rows.append({
+                        "metric": name,
+                        "error": "no BENCHROW line (rc=%d)" % out.returncode,
+                        "stderr_tail": out.stderr[-800:]})
+                    continue
+                rows.append(json.loads(lines[-1][len("BENCHROW "):]))
             except Exception as e:  # pragma: no cover - best effort
                 rows.append({"metric": name, "error": repr(e)[:200]})
     except Exception:

@@ -203,16 +203,23 @@ def _row(metric, sm_args, sm_kwargs, B, acc_sigma=0.01, baseline=None):
         elif baseline == "native_rklt":
             denom, kind = _native_cfg_fps("rklt"), "native_cpp_1core"
         else:
-            # the CPU denominator runs the natural CPU program: the
-            # TPU-tuned dense-matmul sampling keys (interp="*_mm", crop)
-            # are pathological on one CPU core and would inflate the
-            # ratio (r4: pf500 measured 0.74 fps with them)
+            # the CPU denominator runs the natural CPU program: only the
+            # TPU LAYOUT keys (interp="*_mm", crop, use_pallas,
+            # interp_bf16 — same math, pathological on one CPU core; r4:
+            # pf500 measured 0.74 fps with them) are stripped.
+            # Work-REDUCING knobs (coarse_pt_iters, pf_score_stride,
+            # grid_sub_iters/grid_coarse_stride) are kept so both sides
+            # run the same algorithmic schedule (ADVICE r4: stripping
+            # them made the ratio partly measure the decimation speedup).
             cpu_kwargs = {k: v for k, v in sm_kwargs.items()
                           if k not in ("interp", "crop", "use_pallas",
-                                       "coarse_pt_iters", "interp_bf16",
-                                       "pf_score_stride", "grid_sub_iters",
-                                       "grid_coarse_stride")}
-            denom, kind = _jaxcpu_cfg_fps(metric, sm_args, cpu_kwargs), \
+                                       "interp_bf16")}
+            # cache key carries the denominator config (a change in the
+            # stripped-key policy or the row's kwargs must invalidate it)
+            import hashlib
+            ck = "%s-%s" % (metric, hashlib.md5(repr(sorted(
+                cpu_kwargs.items())).encode()).hexdigest()[:8])
+            denom, kind = _jaxcpu_cfg_fps(ck, sm_args, cpu_kwargs), \
                 "jax_cpu_1core"
         row["vs_baseline"] = round(fps / denom, 2)
         row["baseline_cpu_fps"] = {kind: round(denom, 2)}

@@ -196,17 +196,22 @@ def lk_fused_gn_t(img: Array, ptsT: Array, jacT: Array, templ: Array,
 
 
 def _chain_kernel(kind, hc, wc, n_s, rpad, tn, n_valid, band, blur, grp,
-                  sub_ref, a_ref, ph_ref, templ_ref, val_ref, g_ref,
-                  h_ref):
+                  am, esm, *refs):
+    if esm:
+        (sub_ref, a_ref, ph_ref, templ_ref, j0_ref,
+         val_ref, g_ref, h_ref) = refs
+    else:
+        sub_ref, a_ref, ph_ref, templ_ref, val_ref, g_ref, h_ref = refs
+        j0_ref = None
     for _g in range(grp):
         _chain_kernel_one(kind, hc, wc, n_s, rpad, tn, n_valid, band,
-                          blur, _g, sub_ref, a_ref, ph_ref, templ_ref,
-                          val_ref, g_ref, h_ref)
+                          blur, am, _g, sub_ref, a_ref, ph_ref, templ_ref,
+                          j0_ref, val_ref, g_ref, h_ref)
 
 
 def _chain_kernel_one(kind, hc, wc, n_s, rpad, tn, n_valid, band, blur,
-                      g_i, sub_ref, a_ref, ph_ref, templ_ref, val_ref,
-                      g_ref, h_ref):
+                      am, g_i, sub_ref, a_ref, ph_ref, templ_ref, j0_ref,
+                      val_ref, g_ref, h_ref):
     """Whole LK iteration from the 3x3 warp algebra up: point projection,
     quotient-rule warp Jacobian, tap weights, MXU sampling contractions,
     SSD residual, g = J^T r and J^T J — no per-point tensor ever leaves
@@ -284,11 +289,50 @@ def _chain_kernel_one(kind, hc, wc, n_s, rpad, tn, n_valid, band, blur,
     dy = -jnp.sum(dpyt * tmp, axis=0)
     val_ref[g_i, 0, :] = val
 
-    r = templ_ref[g_i, 0, :] - val
     Jm = (jx * dx[None, :] + jy * dy[None, :]) * \
         live.astype(jnp.float32)[None, :]                   # (S, TN)
-    g = jnp.sum(Jm * r[None, :], axis=1, keepdims=True)
+    if j0_ref is not None:
+        # ESM: mean of current + (constant) template Jacobians
+        # (NT/ESM.cc:228-230); J0 padded columns are zero so the live
+        # mask is preserved
+        Jm = 0.5 * (Jm + j0_ref[g_i])
+    if am == "ncc":
+        # NCC gradient w.r.t. the raw patch, matching AD through
+        # am/ncc.py _center_norm (single tile: the stats span all live
+        # lanes): c = I - mean, f ∝ n0·c, eps mirrors _center_norm's
+        nv = jnp.float32(n_valid)
+        lv = live.astype(jnp.float32)
+        s1 = jnp.sum(val * lv)
+        mu = s1 / nv
+        c = (val - mu) * lv
+        nrm = jnp.sqrt(jnp.sum(c * c))
+        n0 = templ_ref[g_i, 0, :]                           # unit template
+        dotc = jnp.sum(n0 * c)
+        eps = 1e-8
+        gI = n0 / (nrm + eps) - dotc * c / (nrm * (nrm + eps) ** 2)
+    else:
+        gI = templ_ref[g_i, 0, :] - val                     # SSD residual
+    g = jnp.sum(Jm * gI[None, :], axis=1, keepdims=True)
     g_ref[g_i, 0, 0, :] = g[:, 0]
+    if am == "ncc":
+        # closed-form NCC GN Hessian at the SELF state (hess selft;
+        # reference cmptSelfHessian, NCC.cc:124-410): with the centering
+        # projection folded into row-centered J̃ and ĉ = c/r,
+        #   J̃ᵀ (d²f/dI²)|self J̃ = (uuᵀ - J̃ᵀJ̃)/r²,  u = J̃ᵀĉ.
+        # Emitted NEGATED (h_ref holds -H) so the XLA side's selft/std
+        # branch H = -h matches the SSD convention.
+        chat = c / (nrm + eps)
+        m = jnp.sum(Jm * lv[None, :], axis=1, keepdims=True) / nv
+        Jc = (Jm - m) * lv[None, :]                         # (S, TN)
+        u = jnp.sum(Jc * chat[None, :], axis=1, keepdims=True)  # (S, 1)
+        jtjc = jax.lax.dot_general(
+            Jc, Jc, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        uut = jax.lax.dot_general(
+            u, u, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        h_ref[g_i, 0, :, :] = (jtjc - uut) / (nrm * nrm)
+        return
     # J^T J at full precision: (S, TN)x(S, TN) is ~1M MACs (vs the 50M+
     # sampling dots) and the GN step solves against this matrix directly
     # J^T J at DEFAULT (bf16-operand) precision: unlike the coordinate
@@ -301,12 +345,18 @@ def _chain_kernel_one(kind, hc, wc, n_s, rpad, tn, n_valid, band, blur,
 
 @functools.lru_cache(maxsize=None)
 def _chain_core_for(kind: str, n_s: int, n_valid: int,
-                    interpret: bool = False, blur: int = 0):
-    def batched(subs, A, ph, templ):
+                    interpret: bool = False, blur: int = 0,
+                    am: str = "ssd", esm: bool = False):
+    def batched(subs, A, ph, templ, j0=None):
         b, hc, wc = subs.shape
         n_pad = ph.shape[2]
         rpad = (A.shape[1] - 8) // 3
-        tn, band = _chain_tile_of(n_pad, hc)
+        if am == "ncc":
+            # the NCC stats (mean/norm/correlation) span all live lanes:
+            # force ONE full-array tile (callers gate N <= _FULL_MAX)
+            tn, band = _tile_of(n_pad), hc
+        else:
+            tn, band = _chain_tile_of(n_pad, hc)
         t = n_pad // tn
         # tracker grouping: decimated coarse phases (small N) are
         # launch/DMA-overhead-bound — at B=1024 the per-grid-step fixed
@@ -330,11 +380,18 @@ def _chain_core_for(kind: str, n_s: int, n_valid: int,
                             memory_space=pltpu.VMEM)
         hblk = pl.BlockSpec((grp, 1, n_s, n_s), lambda i, j: (i, j, 0, 0),
                             memory_space=pltpu.VMEM)
+        in_specs = [sub_blk, ablk, phblk, vec]
+        operands = [subs, A, ph, templ[:, None]]
+        if esm:
+            j0blk = pl.BlockSpec((grp, n_s, tn), lambda i, j: (i, 0, j),
+                                 memory_space=pltpu.VMEM)
+            in_specs.append(j0blk)
+            operands.append(j0)
         val, g, h = pl.pallas_call(
             functools.partial(_chain_kernel, kind, hc, wc, n_s, rpad, tn,
-                              n_valid, band, blur, grp),
+                              n_valid, band, blur, grp, am, esm),
             grid=(gb, t),
-            in_specs=[sub_blk, ablk, phblk, vec],
+            in_specs=in_specs,
             out_specs=(vec, gblk, hblk),
             out_shape=(jax.ShapeDtypeStruct((b, 1, n_pad), jnp.float32),
                        jax.ShapeDtypeStruct((b, t, 1, n_s), jnp.float32),
@@ -343,8 +400,27 @@ def _chain_core_for(kind: str, n_s: int, n_valid: int,
                 flops=2 * 2 * b * n_pad * band * wc, transcendentals=0,
                 bytes_accessed=b * (hc * wc * 2 + n_pad * 4 * 5)),
             interpret=interpret,
-        )(subs, A, ph, templ[:, None])
+        )(*operands)
         return val[:, 0], g[:, :, 0], h
+
+    if esm:
+        @jax.custom_batching.custom_vmap
+        def core(sub, A, ph, templ, j0):
+            val, g, h = batched(sub[None], A[None], ph[None], templ[None],
+                                j0[None])
+            return val[0], g[0], h[0]
+
+        @core.def_vmap
+        def _core_vmap(axis_size, in_batched, sub, A, ph, templ, j0):  # noqa: F811,E501
+            bcast = lambda z, b: z if b else jnp.broadcast_to(  # noqa: E731
+                z[None], (axis_size,) + z.shape)
+            out = batched(bcast(sub, in_batched[0]), bcast(A, in_batched[1]),
+                          bcast(ph, in_batched[2]),
+                          bcast(templ, in_batched[3]),
+                          bcast(j0, in_batched[4]))
+            return out, (True, True, True)
+
+        return core
 
     @jax.custom_batching.custom_vmap
     def core(sub, A, ph, templ):
@@ -364,7 +440,8 @@ def _chain_core_for(kind: str, n_s: int, n_valid: int,
 
 def lk_fused_chain(img: Array, M0: Array, gens: Array, ph: Array,
                    templ: Array, kind: str = "linear",
-                   interpret: bool = False, blur: int = 0):
+                   interpret: bool = False, blur: int = 0,
+                   am: str = "ssd", j0: Array | None = None):
     """Chain-fused LK iteration: ONLY 3x3-scale warp algebra stays in XLA.
 
     img (Hc, Wc) pre-cropped window; M0 (3, 3) mapping the homogeneous
@@ -373,6 +450,14 @@ def lk_fused_chain(img: Array, M0: Array, gens: Array, ph: Array,
     (val (N,), g (S,) = J^T(templ - val), JtJ (S, S)) — points, warp
     Jacobian, sampling and reductions all happen inside the kernel, so
     per-iteration HBM traffic is O(window + N) instead of O(N * 2S).
+
+    `am`: "ssd" (g = J^T(templ - val)) or "ncc" (templ is the CENTERED
+    UNIT-NORM template n0; the exact NCC patch gradient is built
+    in-kernel and g = J^T dNCC/dI — single point tile only, callers
+    gate N <= 4096). `j0`: optional (S, N) constant template-side
+    Jacobian — when given, J := (J + J0)/2 (the ESM mean Jacobian,
+    NT/ESM.cc:228-230) before the reductions, and the returned JtJ is
+    the ESM-Jacobian normal matrix.
     """
     n = ph.shape[1]
     n_s = gens.shape[0]
@@ -395,7 +480,10 @@ def lk_fused_chain(img: Array, M0: Array, gens: Array, ph: Array,
     # 0.5 px at 144) and A seeds every coordinate in the kernel
     A = jnp.matmul(M0.reshape(9), jnp.asarray(C.reshape(9, rows * 3)),
                    precision=jax.lax.Precision.HIGHEST).reshape(rows, 3)
-    tile, _ = _chain_tile_of(n, img.shape[0])
+    if am == "ncc":
+        tile = _tile_of(n)
+    else:
+        tile, _ = _chain_tile_of(n, img.shape[0])
     if n % tile != 0:
         pad = ((n + tile - 1) // tile) * tile - n
         # pad with (0, 0, 1) points: finite projection, masked residual
@@ -403,8 +491,14 @@ def lk_fused_chain(img: Array, M0: Array, gens: Array, ph: Array,
             [ph, jnp.tile(jnp.asarray([[0.0], [0.0], [1.0]], ph.dtype),
                           (1, pad))], axis=1)
         templ = jnp.pad(templ, ((0, pad),))
-    val, g, h = _chain_core_for(kind, n_s, n, interpret, blur)(
-        img.astype(jnp.bfloat16), A, ph, templ)
+        if j0 is not None:
+            j0 = jnp.pad(j0, ((0, 0), (0, pad)))
+    core = _chain_core_for(kind, n_s, n, interpret, blur, am,
+                           j0 is not None)
+    if j0 is not None:
+        val, g, h = core(img.astype(jnp.bfloat16), A, ph, templ, j0)
+    else:
+        val, g, h = core(img.astype(jnp.bfloat16), A, ph, templ)
     return val[:n], jnp.sum(g, axis=0), jnp.sum(h, axis=0)
 
 

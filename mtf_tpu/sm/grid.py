@@ -108,7 +108,18 @@ class GridTracker(SearchMethod):
                 f"got {self.grid.flow!r}")
 
     # -- batched translation LK over all patches -----------------------
-    def _track_patches(self, frame, norm_mat, pts_base, templates, n_iters):
+    def _grid_fused_ok(self) -> bool:
+        """True when the per-level joint-iteration loop collapses into
+        the Pallas grid-flow kernel (ops/pallas/grid_flow.py): dense-mm
+        interp, plain 2D frames. Auto on TPU like the LK chain kernel."""
+        from mtf_tpu.sm.lk import _tpu_compute
+        prm = self.prm
+        use_p = prm.use_pallas or (prm.use_pallas is None
+                                   and _tpu_compute())
+        return bool(use_p) and prm.interp.endswith("_mm")
+
+    def _track_patches(self, frame, norm_mat, pts_base, templates, n_iters,
+                       crop=None):
         """pts_base: (P, n, 2) per-patch template-frame sampling points;
         returns the (P, 2) 2-DOF corrections. One fused computation:
         (P, n) gathers + closed-form 2x2 solves. With a "<kind>_mm"
@@ -116,11 +127,18 @@ class GridTracker(SearchMethod):
         contraction over a shared crop window per iteration (all P*n
         points as tap-weight rows — the TPU-native form; the reference
         runs P independent sub-trackers in a TBB parallel-for,
-        GridTracker.cc:247-261)."""
+        GridTracker.cc:247-261). On TPU the whole n_iters loop runs in
+        ONE Pallas kernel call (grid_flow_fused).
+
+        `crop`: static window size override for this call (pyramid
+        levels pass a level-scaled window; None = prm.crop)."""
         g = self.grid
         if self.prm.interp.endswith("_mm") and frame.ndim == 2:
+            if self._grid_fused_ok():
+                return self._track_patches_fused(frame, norm_mat, pts_base,
+                                                 templates, n_iters, crop)
             return self._track_patches_mm(frame, norm_mat, pts_base,
-                                          templates, n_iters)
+                                          templates, n_iters, crop)
 
         def one_patch(base, template):
             def body(_, disp):
@@ -146,8 +164,42 @@ class GridTracker(SearchMethod):
 
         return jax.vmap(one_patch)(pts_base, templates)
 
+    def _track_patches_fused(self, frame, norm_mat, pts_base, templates,
+                             n_iters, crop=None):
+        """Pallas grid-flow path: the whole per-level joint-iteration
+        loop in ONE kernel call (ops/pallas/grid_flow.py) — disp carried
+        in VMEM, per-patch 2x2 solves in-kernel. Same math as
+        `_track_patches_mm` with the window hoisted out of the loop
+        (anchored min-4 on the initial point cloud; the crop margin
+        absorbs the intra-level motion like the LK fast path)."""
+        from mtf_tpu.ops.pallas.grid_flow import grid_flow_fused
+        from mtf_tpu.sm.lk import _tpu_compute
+        g, prm = self.grid, self.prm
+        P, n = pts_base.shape[0], pts_base.shape[1]
+        scale = norm_mat[0, 0]
+        pts = W.apply_warp(norm_mat, pts_base.reshape(-1, 2))   # (Pn, 2)
+        h, w = frame.shape
+        c = crop if crop is not None else prm.crop
+        if c is not None and (c < h or c < w):
+            hc, wc = min(c, h), min(c, w)
+            x0 = jnp.clip(jnp.floor(jnp.min(pts[:, 0])) - 4.0, 0.0,
+                          float(w - wc))
+            y0 = jnp.clip(jnp.floor(jnp.min(pts[:, 1])) - 4.0, 0.0,
+                          float(h - hc))
+            win = jax.lax.dynamic_slice(
+                frame, (y0.astype(jnp.int32), x0.astype(jnp.int32)),
+                (hc, wc))
+            pts = pts - jnp.stack([x0, y0])
+        else:
+            win = frame
+        disp = grid_flow_fused(win, pts.T, templates.reshape(-1), scale,
+                               n, n_iters, zncc=g.zncc,
+                               kind=prm.interp[:-3],
+                               interpret=not _tpu_compute())
+        return disp.T                                           # (P, 2)
+
     def _track_patches_mm(self, frame, norm_mat, pts_base, templates,
-                          n_iters):
+                          n_iters, crop=None):
         """Dense-matmul variant of `_track_patches`: identical math (same
         ZNCC residual, same damped 2x2 solve) with the sampling of ALL
         patches fused into one value+grad dense contraction per
@@ -159,12 +211,13 @@ class GridTracker(SearchMethod):
         kind = prm.interp[:-3]
         scale = norm_mat[0, 0]
         cdt = jnp.bfloat16 if prm.interp_bf16 else None
+        crop_eff = crop if crop is not None else prm.crop
 
         def body(_, disp):
             pts = W.apply_warp(
                 norm_mat, (pts_base + disp[:, None, :]).reshape(-1, 2))
             val, (dx, dy) = interp.sample_dense(
-                frame, pts, kind, crop=prm.crop, need_grad=True,
+                frame, pts, kind, crop=crop_eff, need_grad=True,
                 _stack=False, compute_dtype=cdt)
             C = val.shape[-1]
             patch = val.reshape(P, n, C)
@@ -220,17 +273,34 @@ class GridTracker(SearchMethod):
         (GridParams.coarse_point_stride)."""
         frames = self._pyr_frames(frame)
         disp = jnp.zeros((pts_base.shape[0], 2), jnp.float32)
+        c0 = self.prm.crop
         for lvl in reversed(range(self.grid.pyramid_levels)):
+            # level-scaled window: the patch cloud shrinks 2x per level,
+            # so a full-size window at coarse levels wastes Hc*Wc*N MACs
+            # (the dense contraction's dominant term) — scale the crop
+            # with the pyramid, +16 px margin for the coarse motion
+            crop_l = None if c0 is None else (
+                c0 if lvl == 0 else max(48, (c0 >> lvl) + 16))
             sel = self._point_subset(lvl)
             pb = pts_base if sel is None else pts_base[:, sel]
-            tm = templates[lvl] if sel is None else templates[lvl][:, sel]
+            if sel is None:
+                tm = templates[lvl]
+            else:
+                tm = templates[lvl][:, sel]
+                if self.grid.zncc:
+                    # the live patch is standardized over the decimated
+                    # subset only — re-standardize the subsampled template
+                    # so both sides of the residual share subset
+                    # statistics (full-grid mean/std != subset mean/std
+                    # would bias the coarse flow; ADVICE r4)
+                    tm = _standardize(tm)
             if isinstance(n_iters, (tuple, list)):
                 it = int(n_iters[min(lvl, len(n_iters) - 1)])
             else:
                 it = int(n_iters)
             disp = disp + self._track_patches(
                 frames[lvl], self._level_norm(norm_mat, lvl),
-                pb + disp[:, None, :], tm, it)
+                pb + disp[:, None, :], tm, it, crop=crop_l)
         return disp
 
     def _templates_at(self, frame, norm_mat, centers, offsets):

@@ -284,16 +284,25 @@ class LKBase(SearchMethod):
     # -- fused-kernel fast path (FCLK + SSD + self0 + grayscale) --------
     def _fused_ok(self, state: TrackerState, frame: Array) -> bool:
         """True when the whole iteration collapses into the Pallas
-        lk_fused_gn kernel (ops/pallas/lk_fused.py): forward
-        compositional, SSD gradient (g = templ - patch), cached self0
-        Hessian, no ILM/SPI/ESM-jac, single-channel dense sampling."""
+        chain kernel (ops/pallas/lk_fused.py): forward compositional,
+        SSD or NCC gradient, optional ESM mean Jacobian (J0 passed as a
+        kernel constant), cached self0 Hessian (or the kernel's J^T J
+        for SSD selft/std), no ILM/SPI, single-channel dense sampling."""
         from mtf_tpu.ssm.base import SSM as _SSMBase
         prm, am = self.prm, self.am
         use_p = (prm.use_pallas or (prm.use_pallas is None
                                     and _tpu_compute()))
+        # NCC: stats span all lanes -> single point tile only; self0
+        # uses the cached H0, selft the in-kernel closed form; std
+        # (template-state Hessian) stays on the generic hvp path
+        fuse_am = (am.name == "ssd"
+                   or (am.name == "ncc"
+                       and prm.hess_type in ("self0", "selft")
+                       and am.prm.resx * am.prm.resy <= 4096))
+        fuse_jac = (not self.use_esm_jac or prm.jac_type == "original")
         return (use_p and prm.interp.endswith("_mm")
-                and not self.inverse and not self.use_esm_jac
-                and self.compositional and am.name == "ssd"
+                and not self.inverse and fuse_jac
+                and self.compositional and fuse_am
                 and am.ilm.n_params == 0
                 and prm.hess_type in ("self0", "selft", "std")
                 and not prm.spi_type and state.spi_mask is None
@@ -313,18 +322,21 @@ class LKBase(SearchMethod):
         precomputed (2S, N) Jacobians and measured ~1.2 ms/iter of XLA
         glue at B=256 fleet scale just assembling them."""
         from mtf_tpu.ops.pallas.lk_fused import lk_fused_chain
-        ssm, prm = self.ssm, self.prm
+        ssm, prm, am = self.ssm, self.prm, self.am
         S = ssm.dof
         region = state.region
         n = region.base_pts.shape[0]
-        # fenv = (ph, templ, H0) is loop-invariant: _update precomputes
-        # it outside the iteration loop (and swaps in decimated packs
-        # during coarse_pt_iters phases); rebuilt only on direct calls
-        ph, templ_ov, h0_ov, blur = (fenv if fenv is not None
-                                     else (None,) * 4)
+        # fenv = (ph, templ, H0, blur, j0) is loop-invariant: _update
+        # precomputes it outside the iteration loop (and swaps in
+        # decimated packs during coarse_pt_iters phases); rebuilt only
+        # on direct calls
+        ph, templ_ov, h0_ov, blur, j0 = (fenv if fenv is not None
+                                         else (None,) * 5)
         if ph is None:
             ph = jnp.concatenate(
                 [region.base_pts.T, jnp.ones((1, n), jnp.float32)])  # (3, N)
+            if self.use_esm_jac:
+                j0 = state.extra.J0.T                            # (S, N)
         # precision HIGHEST: norm_mat carries image-scale translation
         # (bf16 operand rounding = up to 2 px ulp — the r4 GT audit's
         # ~1 px on-chip bias came from default-precision warp algebra)
@@ -352,14 +364,22 @@ class LKBase(SearchMethod):
                 (hc, wc))
             offs3 = jnp.stack([x0, y0, jnp.zeros((), x0.dtype)])
             M0 = M0 - offs3[:, None] * M0[2][None, :]
-        templ = (templ_ov if templ_ov is not None
-                 else state.am_state.template.reshape(-1))
+        if templ_ov is not None:
+            templ = templ_ov
+        elif am.name == "ncc":
+            # the kernel's NCC mode consumes the centered UNIT template
+            templ = state.am_state.extra[0].reshape(-1)
+        else:
+            templ = state.am_state.template.reshape(-1)
         val, j, jtj = lk_fused_chain(frame_w, M0, ssm.generators, ph,
                                      templ, prm.interp[:-3],
                                      interpret=not _tpu_compute(),
-                                     blur=int(blur or 0))
-        # SSD: selft == std == -J^T J at the current J (d2f/dI2 = -I);
-        # self0 is the cached template-J Hessian
+                                     blur=int(blur or 0),
+                                     am=am.name, j0=j0)
+        # SSD: selft == std == -J^T J at the current J (d2f/dI2 = -I;
+        # with the ESM mean Jacobian jtj is the ESM normal matrix,
+        # matching the generic path's J_h = J_esm); self0 is the cached
+        # template-J Hessian. NCC is gated to self0 in _fused_ok.
         if prm.hess_type == "self0":
             H = h0_ov if h0_ov is not None else state.extra.H0
         else:
@@ -581,7 +601,8 @@ class LKBase(SearchMethod):
             base = state.region.base_pts
             ph_full = jnp.concatenate(
                 [base.T, jnp.ones((1, base.shape[0]), jnp.float32)])
-            fenv = (ph_full, None, None, 0)
+            j0T = state.extra.J0.T if self.use_esm_jac else None
+            fenv = (ph_full, None, None, 0, j0T)
             if (not prm.enable_lm and frame_eff.ndim == 2
                     and frame_eff.dtype != jnp.bfloat16):
                 frame_eff = frame_eff.astype(jnp.bfloat16)
@@ -666,7 +687,16 @@ class LKBase(SearchMethod):
                     frame_s = (self._blur2(frame_eff, stride)
                                if frame_eff.ndim == 2 else frame_eff)
                 if fenv is not None:
-                    fenv_s = (fenv[0][:, idx], templ_s, h0s, 0)
+                    if am.name == "ncc":
+                        # kernel NCC mode consumes the centered unit
+                        # template of the blurred decimated phase patch
+                        from mtf_tpu.am.ncc import NCC as _NCC
+                        templ_k = _NCC._center_norm(
+                            templ_s[:, None]).reshape(-1)
+                    else:
+                        templ_k = templ_s
+                    j0s_T = j0s.T if self.use_esm_jac else None
+                    fenv_s = (fenv[0][:, idx], templ_k, h0s, 0, j0s_T)
                     phase_s = None
                 else:
                     fenv_s = None

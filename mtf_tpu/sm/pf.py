@@ -99,9 +99,26 @@ class PF(SearchMethod):
             r, c = np.arange(0, ry, s), np.arange(0, rx, s)
             self._score_idx = jnp.asarray(
                 (r[:, None] * rx + c[None, :]).ravel())
-            self._score_am = type(self.am)(
-                _replace(self.am.prm, resx=len(c), resy=len(r)),
-                self.am.ilm)
+            # fail at construction, not deep inside the first update
+            # trace (ADVICE r4): composite AMs (SumOfAMs) have a
+            # different ctor, and ILMs holding per-pixel maps built from
+            # resx/resy (PGB/RBF) cannot be reused at the decimated
+            # resolution.
+            if getattr(self.am.ilm, "resx", None) is not None:
+                raise ValueError(
+                    "PFParams.score_stride > 1 needs a resolution-free "
+                    f"ILM; {type(self.am.ilm).__name__} holds per-pixel "
+                    "maps built from (resx, resy) and cannot be reused "
+                    "on the decimated scoring grid")
+            try:
+                self._score_am = type(self.am)(
+                    _replace(self.am.prm, resx=len(c), resy=len(r)),
+                    self.am.ilm)
+            except TypeError as e:
+                raise ValueError(
+                    "PFParams.score_stride > 1 requires an AM "
+                    "constructible as type(am)(params, ilm); "
+                    f"{type(self.am).__name__} is not ({e})") from e
         else:
             self._score_idx = None
             self._score_am = self.am
