@@ -4,12 +4,14 @@ Each entry measures fleet throughput per chip for one of the reference's
 headline configurations (`/root/reference/ReadMe.md:430-438`) plus a
 quick synthetic-accuracy figure (mean corner distance over a short
 known-warp sequence, the generateSyntheticSeq protocol — SURVEY.md §4.2)
-and a `vs_baseline` ratio against a single-core CPU denominator
-(VERDICT r3 #5): native C++ for the deterministic configs (ESM/NCC and
-RKLT — `native/configs_baseline.cpp`, the reference hot loops
-reimplemented like `fclk_baseline.cpp`), jax-CPU single-core under the
-same taskset protocol for the stochastic ones (PF500, NN1k).
-Imported lazily by bench.py; every row is best-effort.
+and a `vs_baseline` ratio against a single-core native C++ denominator
+(`native/configs_baseline.cpp`, the reference hot loops reimplemented
+like `fclk_baseline.cpp`) — since r5 this covers ALL FOUR rows
+including the stochastic ones (pf500 particle loop per
+/root/reference/SM/src/NT/PF.cc:207-420; nn1k dataset + brute-force
+search per NT/NN.cc:57-278). A jax-CPU denominator path is retained
+for ad-hoc configs. Imported lazily by bench.py; every row is
+best-effort.
 """
 import json
 import os
@@ -202,6 +204,10 @@ def _row(metric, sm_args, sm_kwargs, B, acc_sigma=0.01, baseline=None):
             denom, kind = _native_cfg_fps("esm_ncc"), "native_cpp_1core"
         elif baseline == "native_rklt":
             denom, kind = _native_cfg_fps("rklt"), "native_cpp_1core"
+        elif baseline == "native_pf500":
+            denom, kind = _native_cfg_fps("pf500"), "native_cpp_1core"
+        elif baseline == "native_nn1k":
+            denom, kind = _native_cfg_fps("nn1k"), "native_cpp_1core"
         else:
             # the CPU denominator runs the natural CPU program: only the
             # TPU LAYOUT keys (interp="*_mm", crop, use_pallas,
@@ -254,7 +260,7 @@ def bench_pf500():
                 dict(resx=25, resy=25, pf_n_particles=500, enable_lm=True,
                      max_iters=10, interp="linear_mm", crop=256,
                      pf_score_stride=2), B=32,
-                acc_sigma=0.005, baseline="jax_cpu")
+                acc_sigma=0.005, baseline="native_pf500")
 
 
 def bench_nn1k():
@@ -272,7 +278,7 @@ def bench_nn1k():
                 dict(resx=25, resy=25, nn_n_samples=1000, enable_lm=True,
                      max_iters=10, interp="linear_mm", crop=224,
                      n_bins=32), B=32,
-                acc_sigma=0.005, baseline="jax_cpu")
+                acc_sigma=0.005, baseline="native_nn1k")
 
 
 def bench_rklt():
