@@ -24,12 +24,15 @@ def chol_solve_small(A: Array, b: Array, jitter: float = 0.0) -> Array:
     if jitter:
         A = A + jitter * jnp.eye(S, dtype=A.dtype)
     if S > 12:
-        # the unrolled form emits O(S^3) scalar equations — at spline
-        # DOFs (50+) that is a ~40k-equation jaxpr and a multi-GB,
-        # multi-minute XLA CPU compile (r3 postmortem: one test held a
-        # 20 GB compile for >1 h). High-DOF solves use the LAPACK/XLA
-        # custom call; the unrolled win only matters at GN state dims.
-        return jnp.linalg.solve(A, b)
+        # the FULLY unrolled form emits O(S^3) scalar equations — at
+        # spline DOFs (50+) that is a ~40k-equation jaxpr and a
+        # multi-GB, multi-minute XLA CPU compile (r3 postmortem: one
+        # test held a 20 GB compile for >1 h). High-DOF solves use the
+        # BLOCKED unrolled Cholesky instead (r5, VERDICT r4 #9): 8x8
+        # scalar-register diagonal blocks + tiny matmul Schur updates —
+        # still no LAPACK custom call (the class whose removal bought
+        # RKLT 4.7x in r4), jaxpr size O((S/8)^2).
+        return chol_solve_blocked(A, b)
     # scalar-register form: every entry is its own traced scalar and the
     # whole factorization + substitutions become ONE fusable elementwise
     # chain. The previous matrix-carry form (.at[].set per column) cost
@@ -54,6 +57,112 @@ def chol_solve_small(A: Array, b: Array, jitter: float = 0.0) -> Array:
         x[i] = (y[i] - sum(L[(k, i)] * x[k]
                            for k in range(i + 1, S))) * inv[i]
     return jnp.stack([x[i] for i in range(S)], axis=-1)
+
+
+def _chol_unrolled_dict(A: Array, S: int):
+    """Scalar-register Cholesky of the trailing (S, S) block of `A`
+    (batch dims allowed). Returns (L, inv) dicts of per-entry traced
+    scalars — the building block shared by the small and blocked
+    solvers."""
+    a = {(i, j): A[..., i, j] for i in range(S) for j in range(i + 1)}
+    L, inv = {}, {}
+    for j in range(S):
+        s = a[(j, j)] - sum(L[(j, k)] * L[(j, k)] for k in range(j))
+        d = jnp.sqrt(jnp.maximum(s, 1e-30))
+        L[(j, j)] = d
+        inv[j] = 1.0 / d
+        for i in range(j + 1, S):
+            L[(i, j)] = (a[(i, j)] - sum(L[(i, k)] * L[(j, k)]
+                                         for k in range(j))) * inv[j]
+    return L, inv
+
+
+def chol_solve_blocked(A: Array, b: Array, nb: int = 8) -> Array:
+    """Blocked right-looking Cholesky solve for SPD A (..., S, S) with
+    S > 12 (Spline/TPS GN systems, 50+ DOF).
+
+    Structure per 8x8 block step: scalar-register factorization of the
+    diagonal block (`_chol_unrolled_dict` — a fused elementwise chain,
+    no dynamic-update-slices), unrolled triangular panel solves, and
+    (nb, nb) matmul Schur updates at HIGHEST precision (the TPU default
+    rounds f32 matmul operands to bf16, which at 50 DOF measurably
+    perturbs the GN step). No `jnp.linalg.solve` / LAPACK-style custom
+    call anywhere — reference anchor SSM/src/Spline.cc / TPS.cc solves.
+    """
+    S = A.shape[-1]
+    nblk = -(-S // nb)
+    Sp = nblk * nb
+    if Sp != S:
+        pad = Sp - S
+        batch = A.shape[:-2]
+        zcol = jnp.zeros(batch + (S, pad), A.dtype)
+        eye = jnp.broadcast_to(jnp.eye(pad, dtype=A.dtype),
+                               batch + (pad, pad))
+        zrow = jnp.zeros(batch + (pad, S), A.dtype)
+        A = jnp.concatenate(
+            [jnp.concatenate([A, zcol], -1),
+             jnp.concatenate([zrow, eye], -1)], -2)
+        b = jnp.concatenate(
+            [b, jnp.zeros(b.shape[:-1] + (pad,), b.dtype)], -1)
+
+    def blk(i, j):
+        return A[..., i * nb:(i + 1) * nb, j * nb:(j + 1) * nb]
+
+    def mmT(X, Y):        # X @ Y^T on trailing dims, full precision
+        return jnp.einsum("...ik,...jk->...ij", X, Y,
+                          precision=jax.lax.Precision.HIGHEST)
+
+    Lb: dict = {}         # off-diagonal block panels (..., nb, nb)
+    diag: dict = {}       # per diagonal block: (L dict, inv dict)
+    for k in range(nblk):
+        Akk = blk(k, k)
+        for j in range(k):
+            Akk = Akk - mmT(Lb[(k, j)], Lb[(k, j)])
+        Ld, inv = _chol_unrolled_dict(Akk, nb)
+        diag[k] = (Ld, inv)
+        for i in range(k + 1, nblk):
+            P = blk(i, k)
+            for j in range(k):
+                P = P - mmT(Lb[(i, j)], Lb[(k, j)])
+            # solve X Lkk^T = P column-by-column (unrolled over nb)
+            cols = {}
+            for j in range(nb):
+                s = P[..., :, j]
+                for m in range(j):
+                    s = s - cols[m] * Ld[(j, m)][..., None]
+                cols[j] = s * inv[j][..., None]
+            Lb[(i, k)] = jnp.stack([cols[j] for j in range(nb)], axis=-1)
+
+    # forward substitution: L y = b (blockwise, unrolled inside blocks)
+    yb = {}
+    for k in range(nblk):
+        r = b[..., k * nb:(k + 1) * nb]
+        for j in range(k):
+            r = r - jnp.einsum("...ij,...j->...i", Lb[(k, j)], yb[j],
+                               precision=jax.lax.Precision.HIGHEST)
+        Ld, inv = diag[k]
+        y = {}
+        for i in range(nb):
+            y[i] = (r[..., i] - sum(Ld[(i, m)] * y[m]
+                                    for m in range(i))) * inv[i]
+        yb[k] = jnp.stack([y[i] for i in range(nb)], axis=-1)
+
+    # back substitution: L^T x = y
+    xb = {}
+    for k in reversed(range(nblk)):
+        r = yb[k]
+        for j in range(k + 1, nblk):
+            r = r - jnp.einsum("...ji,...j->...i", Lb[(j, k)], xb[j],
+                               precision=jax.lax.Precision.HIGHEST)
+        Ld, inv = diag[k]
+        x = {}
+        for i in reversed(range(nb)):
+            x[i] = (r[..., i] - sum(Ld[(m, i)] * x[m]
+                                    for m in range(i + 1, nb))) * inv[i]
+        xb[k] = jnp.stack([x[i] for i in range(nb)], axis=-1)
+
+    out = jnp.concatenate([xb[k] for k in range(nblk)], axis=-1)
+    return out[..., :S]
 
 
 def neg_def_solve(H: Array, g: Array) -> Array:

@@ -107,7 +107,8 @@ def _kernel(kind, hc, wc, n, tp, t_tiles, n_iters, zncc, win_ref,
             # expand to per-point window-px offsets
             d_pt = jax.lax.dot_general(
                 d_t * scale, EX, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)         # (2, TN)
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)        # (2, TN)
             x = jnp.clip(px + d_pt[0], lo, hix)
             y = jnp.clip(py + d_pt[1], lo, hiy)
 
@@ -128,25 +129,43 @@ def _kernel(kind, hc, wc, n, tp, t_tiles, n_iters, zncc, win_ref,
 
             if zncc:
                 # per-patch standardization (matches sm/grid._standardize)
-                stats = jax.lax.dot_general(
-                    jnp.stack([val, val * val]), ET,
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)     # (2, tp)
-                mu = stats[0] / n
-                var = jnp.maximum(stats[1] / n - mu * mu, 0.0)
-                inv = 1.0 / (jnp.sqrt(var) + 1e-6)
-                mi = jax.lax.dot_general(
-                    jnp.stack([mu, inv]), EX, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)     # (2, TN)
-                val = (val - mi[0]) * mi[1]
+                # in TWO passes at FULL precision: the one-pass form
+                # var = E[v^2] - mu^2 is a catastrophic cancellation
+                # (mu^2 ~ 16k vs var ~ 5 on 8-bit imagery), and the TPU
+                # default rounds f32 dot operands to bf16 — the 0.4%
+                # error on E[v^2] exceeded var itself, collapsed sd to
+                # ~0 and blew the solve up by 1e4 (r5 chip postmortem;
+                # interpret-on-CPU is exact and never showed it)
+                s1 = jax.lax.dot_general(
+                    val[None, :], ET, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)    # (1, tp)
+                mu_e = jax.lax.dot_general(
+                    s1 / n, EX, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)[0]  # (TN,)
+                c = val - mu_e
+                s2 = jax.lax.dot_general(
+                    (c * c)[None, :], ET, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)    # (1, tp)
+                inv = 1.0 / (jnp.sqrt(s2[0] / n) + 1e-6)
+                inv_e = jax.lax.dot_general(
+                    inv[None, :], EX, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)[0]
+                val = c * inv_e
 
             r = val - templ_ref[0, 0, sl]
             jx = dx * scale                                 # template units
             jy = dy * scale
+            # full precision: g rows are zero-mean-ish sums whose bf16
+            # product rounding becomes the step's noise floor
             red = jax.lax.dot_general(
                 jnp.stack([jx * jx, jx * jy, jy * jy, jx * r, jy * r]),
                 ET, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)         # (5, tp)
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)        # (5, tp)
             hxx = red[0] + 1e-6
             hxy = red[1]
             hyy = red[2] + 1e-6

@@ -518,8 +518,11 @@ class LKBase(SearchMethod):
         # static phase schedule (needed before the crop: the fast path
         # below pre-blurs the SHARED frame per phase)
         phases = ()
-        if (prm.coarse_pt_iters and not prm.enable_lm
-                and getattr(state.extra, "coarse", ())):
+        if prm.coarse_pt_iters and getattr(state.extra, "coarse", ()):
+            # r5: LM configs run coarse phases too — the accept/reject f
+            # is evaluated PHASE-CONSISTENTLY (same blurred decimated
+            # grid as the step, reference FCLK.cc:193-217 rollback
+            # semantics) and f_prev re-seeds at each phase boundary
             phases = tuple(zip(prm.coarse_pt_iters, state.extra.coarse))
 
         # Hoist the crop OUT of the iteration loop: a vmapped
@@ -621,7 +624,8 @@ class LKBase(SearchMethod):
             return jnp.logical_and(c.it < prm.max_iters,
                                    jnp.logical_not(c.done))
 
-        def body(c: _LKCarry, fenv_b=None, frame_b=None, phase_b=None):
+        def body(c: _LKCarry, fenv_b=None, frame_b=None, phase_b=None,
+                 fof_b=None):
             dq, patch, j = self._iteration(
                 state, frame_b if frame_b is not None else frame_eff,
                 c, offset,
@@ -636,7 +640,7 @@ class LKBase(SearchMethod):
             corner_change = jnp.max(jnp.linalg.norm(
                 corners_of(new_ssm) - corners_of(c.ssm_state), axis=-1))
             if prm.enable_lm:
-                f_new = f_of(new_ssm, new_pam)
+                f_new = (fof_b or f_of)(new_ssm, new_pam)
                 accept = f_new >= c.f_prev
                 new_ssm = jnp.where(accept, new_ssm, c.ssm_state)
                 new_pam = jnp.where(accept, new_pam, c.p_am)
@@ -703,19 +707,42 @@ class LKBase(SearchMethod):
                     phase_s = (idx, templ_s, h0s, j0s)
                 it_hi = min(it_hi + int(n_it), prm.max_iters)
 
+                fof_s = None
+                if prm.enable_lm:
+                    # phase-consistent LM objective: f on the decimated
+                    # points of the BLURRED frame vs the cached blurred
+                    # decimated template (an f measured full-res would
+                    # reject every coarse step — different optimum)
+                    def fof_s(s, pam, idx=idx, templ_s=templ_s,
+                              fr=frame_s):
+                        region_s = state.region._replace(
+                            base_pts=state.region.base_pts[idx])
+                        st_s = am.init(templ_s[:, None])._replace(
+                            p_am=pam)
+                        fn = self._patch_fn(region_s, s, pam, fr, offset)
+                        return am.f_corrected(
+                            st_s, fn(jnp.zeros((q_dim,), jnp.float32)))
+                    carry = carry._replace(
+                        f_prev=fof_s(carry.ssm_state, carry.p_am))
+
                 def cond_s(c, hi=it_hi):
                     return jnp.logical_and(c.it < hi,
                                            jnp.logical_not(c.done))
 
-                def body_s(c, fe=fenv_s, fr=frame_s, ph=phase_s):
-                    return body(c, fe, fr, ph)
+                def body_s(c, fe=fenv_s, fr=frame_s, ph=phase_s,
+                           ff=fof_s):
+                    return body(c, fe, fr, ph, ff)
 
                 carry = jax.lax.while_loop(cond_s, body_s, carry)
             # a decimated/blurred coarse phase may have latched done=True
             # at its own (offset) optimum; the SMParams contract is that
             # the final FULL-RESOLUTION iterations set the converged fixed
             # point, so re-arm the convergence test before entering it
+            # (and for LM, re-seed f_prev in the full-resolution metric)
             carry = carry._replace(done=jnp.asarray(False))
+            if prm.enable_lm:
+                carry = carry._replace(
+                    f_prev=f_of(carry.ssm_state, carry.p_am))
         out = jax.lax.while_loop(cond, body, carry)
 
         new_am = state.am_state._replace(p_am=out.p_am)

@@ -248,3 +248,37 @@ def test_chol_solve_small_matches_numpy():
     np.testing.assert_allclose(
         xs, np.linalg.solve(As, bs[..., None])[..., 0],
         rtol=2e-4, atol=2e-4)
+
+
+def test_chol_solve_blocked_high_dof():
+    """Blocked Cholesky (Spline/TPS-DOF solves, VERDICT r4 #9): matches
+    the LAPACK solve it replaces, vmaps, and emits NO triangular-solve /
+    LU custom call in its jaxpr."""
+    import jax
+    import jax.numpy as jnp
+    from mtf_tpu.ops.linalg import chol_solve_blocked, chol_solve_small
+
+    rng = np.random.default_rng(3)
+    for S in (13, 20, 50):
+        M = rng.normal(0, 1, (S, S))
+        A = jnp.asarray(M @ M.T + S * np.eye(S), jnp.float32)
+        b = jnp.asarray(rng.normal(0, 1, (S,)), jnp.float32)
+        x = np.asarray(chol_solve_blocked(A, b))
+        xr = np.asarray(jnp.linalg.solve(A, b))
+        assert np.max(np.abs(x - xr)) / np.max(np.abs(xr)) < 1e-4, S
+        # chol_solve_small must route S>12 to the blocked form
+        xs = np.asarray(chol_solve_small(A, b))
+        np.testing.assert_allclose(xs, x, rtol=1e-6, atol=1e-6)
+    # batched
+    Ms = rng.normal(0, 1, (4, 50, 50))
+    As = jnp.asarray(np.einsum("bij,bkj->bik", Ms, Ms) + 50 * np.eye(50),
+                     jnp.float32)
+    bs = jnp.asarray(rng.normal(0, 1, (4, 50)), jnp.float32)
+    xs = np.asarray(jax.vmap(chol_solve_blocked)(As, bs))
+    xr = np.asarray(jax.vmap(jnp.linalg.solve)(As, bs))
+    assert np.max(np.abs(xs - xr)) < 1e-4
+    # HLO hygiene: no LAPACK-style factorization primitive anywhere
+    jaxpr = jax.make_jaxpr(chol_solve_small)(As[0], bs[0])
+    prims = {e.primitive.name for e in jaxpr.jaxpr.eqns}
+    assert not prims & {"lu", "triangular_solve", "cholesky",
+                        "custom_linear_solve"}, prims
