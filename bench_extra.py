@@ -298,7 +298,94 @@ def bench_rklt():
 
 EXTRA_CONFIGS = [
     ("esm_ncc_hom8_frames_per_sec_per_chip", bench_esm_ncc),
+    ("mcssd_fclk_hom8_frames_per_sec_per_chip", bench_mcssd),
     ("pf500_fclm_ssim_hom8_frames_per_sec_per_chip", bench_pf500),
     ("nn1k_iclm_mi_hom8_frames_per_sec_per_chip", bench_nn1k),
     ("rklt_ssd_hom8_frames_per_sec_per_chip", bench_rklt),
 ]
+
+
+def _scene3(seed=0, h=480, w=640):
+    """3-channel smooth scene: shared structure + per-channel detail
+    (correlated channels, like natural imagery)."""
+    import jax.numpy as jnp
+    rng = np.random.default_rng(seed)
+    base = np.cumsum(np.cumsum(rng.normal(0, 1, (h, w)), 0), 1)
+    chans = []
+    for c in range(3):
+        d = np.cumsum(np.cumsum(rng.normal(0, 0.4, (h, w)), 0), 1)
+        chans.append(base + d)
+    img = np.stack(chans, -1)
+    img = (img - img.min()) / (img.max() - img.min()) * 255.0
+    return jnp.asarray(img, jnp.float32)
+
+
+def bench_mcssd():
+    """MC bench leg (VERDICT r4 #6): 3-channel SSD through the chain
+    kernel (channel-stacked window, ONE shared tap-weight build + C
+    sampling dots — AM/src/MC*.cc semantics). The row also measures the
+    GRAYSCALE TWIN (same config, channel 0 only) in-process so the
+    within-2x claim is a same-session A/B. No coarse_pt_iters (the
+    coarse packs are single-channel; MC runs the flat schedule, and so
+    does its twin)."""
+    import jax
+    import jax.numpy as jnp
+    import time as _t
+    from mtf_tpu import create_tracker
+    from mtf_tpu.parallel import TrackerFleet, make_mesh
+    from mtf_tpu.utils import synth
+
+    B = 512
+    kw = dict(resx=50, resy=50, max_iters=10, epsilon=0.0,
+              interp="linear_mm", crop=144)
+    frame3 = _scene3(0)
+    frame1 = frame3[:, :, 0]
+
+    def fleet_fps(sm, frame):
+        mesh = make_mesh({"tracker": 1}, devices=[jax.devices()[0]])
+        fleet = TrackerFleet(sm, mesh)
+        states = fleet.initialize(frame, _corners_batch(B))
+        for _ in range(WARMUP):
+            states = fleet.update(states, frame)
+        jax.block_until_ready(states)
+        t0 = _t.perf_counter()
+        for _ in range(STEPS):
+            states = fleet.update(states, frame)
+        jax.block_until_ready(states)
+        return B * STEPS / (_t.perf_counter() - t0)
+
+    mc = create_tracker("fclk", "mcssd", "8", **kw)
+    fps = fleet_fps(mc, frame3)
+    jax.clear_caches()
+    gray = create_tracker("fclk", "ssd", "8", **kw)
+    fps_gray = fleet_fps(gray, frame1)
+    jax.clear_caches()
+
+    # CPU accuracy leg on an exact-GT 3-channel sequence
+    def acc():
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            img = np.asarray(_scene3(7, 240, 320))
+            corners0 = np.array([[110, 80], [210, 80], [210, 160],
+                                 [110, 160]], np.float32)
+            frames, gt = synth.synthetic_sequence(
+                jnp.asarray(img), corners0, mc.ssm, n_frames=6,
+                sigma_scale=0.01, seed=3)
+            st = mc.initialize(frames[0], jnp.asarray(gt[0]))
+            errs = []
+            for i in range(1, len(frames)):
+                st = mc.update(st, frames[i])
+                c = np.asarray(mc.corners(st)).T
+                errs.append(float(np.mean(np.linalg.norm(c - gt[i],
+                                                         axis=-1))))
+            return float(np.mean(errs))
+
+    try:
+        mcd = round(acc(), 3)
+    except Exception:
+        mcd = None
+    return {"metric": "mcssd_fclk_hom8_frames_per_sec_per_chip",
+            "value": round(fps, 1), "unit": "frames/s", "fleet": B,
+            "synth_mcd_px": mcd,
+            "gray_twin_fps": round(fps_gray, 1),
+            "vs_gray_twin": round(fps / fps_gray, 3)}

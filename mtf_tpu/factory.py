@@ -118,6 +118,8 @@ def _pf_params(cfg: dict, n_particles: int | None = None) -> PFParams:
         jacobian_as_sigma=bool(cfg.get("pf_jacobian_as_sigma", False)),
         am_sigma=tuple(cfg.get("pf_am_sigma", ())),
         score_stride=int(cfg.get("pf_score_stride", 1)),
+        score_blur=bool(cfg.get("pf_score_blur", False)),
+        rescore_top_k=int(cfg.get("pf_rescore_top_k", 0)),
         seed=int(cfg.get("seed", 0)),
     )
 

@@ -105,10 +105,11 @@ def _kernel(kind, hc, wc, n, tp, t_tiles, n_iters, zncc, win_ref,
             py = pts_ref[0, 1, sl]
             d_t = disp_ref[t]                               # (2, tp) templ
             # expand to per-point window-px offsets
+            # default precision: offsets are window-px scale (bf16
+            # rounding ~0.005 px here — harmless, unlike the stats)
             d_pt = jax.lax.dot_general(
                 d_t * scale, EX, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)        # (2, TN)
+                preferred_element_type=jnp.float32)         # (2, TN)
             x = jnp.clip(px + d_pt[0], lo, hix)
             y = jnp.clip(py + d_pt[1], lo, hiy)
 
@@ -136,36 +137,34 @@ def _kernel(kind, hc, wc, n, tp, t_tiles, n_iters, zncc, win_ref,
                 # error on E[v^2] exceeded var itself, collapsed sd to
                 # ~0 and blew the solve up by 1e4 (r5 chip postmortem;
                 # interpret-on-CPU is exact and never showed it)
+                # (default dot precision is fine HERE: a bf16-rounded
+                # mu only shifts c by ~0.5 intensity, adding mu_err^2 ~
+                # 0.25 to a var of 5-25 — a ~2% sd error, not the 1e4
+                # blow-up of the one-pass cancellation; HIGHEST on these
+                # M=1 dots measured ~5k fleet fps, log/ab_gridonly)
                 s1 = jax.lax.dot_general(
                     val[None, :], ET, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)    # (1, tp)
+                    preferred_element_type=jnp.float32)     # (1, tp)
                 mu_e = jax.lax.dot_general(
                     s1 / n, EX, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)[0]  # (TN,)
+                    preferred_element_type=jnp.float32)[0]  # (TN,)
                 c = val - mu_e
                 s2 = jax.lax.dot_general(
                     (c * c)[None, :], ET, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)    # (1, tp)
+                    preferred_element_type=jnp.float32)     # (1, tp)
                 inv = 1.0 / (jnp.sqrt(s2[0] / n) + 1e-6)
                 inv_e = jax.lax.dot_general(
                     inv[None, :], EX, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)[0]
+                    preferred_element_type=jnp.float32)[0]
                 val = c * inv_e
 
             r = val - templ_ref[0, 0, sl]
             jx = dx * scale                                 # template units
             jy = dy * scale
-            # full precision: g rows are zero-mean-ish sums whose bf16
-            # product rounding becomes the step's noise floor
             red = jax.lax.dot_general(
                 jnp.stack([jx * jx, jx * jy, jy * jy, jx * r, jy * r]),
                 ET, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)        # (5, tp)
+                preferred_element_type=jnp.float32)         # (5, tp)
             hxx = red[0] + 1e-6
             hxy = red[1]
             hyy = red[2] + 1e-6

@@ -196,7 +196,7 @@ def lk_fused_gn_t(img: Array, ptsT: Array, jacT: Array, templ: Array,
 
 
 def _chain_kernel(kind, hc, wc, n_s, rpad, tn, n_valid, band, blur, grp,
-                  am, esm, *refs):
+                  am, esm, ch, *refs):
     if esm:
         (sub_ref, a_ref, ph_ref, templ_ref, j0_ref,
          val_ref, g_ref, h_ref) = refs
@@ -205,13 +205,13 @@ def _chain_kernel(kind, hc, wc, n_s, rpad, tn, n_valid, band, blur, grp,
         j0_ref = None
     for _g in range(grp):
         _chain_kernel_one(kind, hc, wc, n_s, rpad, tn, n_valid, band,
-                          blur, am, _g, sub_ref, a_ref, ph_ref, templ_ref,
-                          j0_ref, val_ref, g_ref, h_ref)
+                          blur, am, ch, _g, sub_ref, a_ref, ph_ref,
+                          templ_ref, j0_ref, val_ref, g_ref, h_ref)
 
 
 def _chain_kernel_one(kind, hc, wc, n_s, rpad, tn, n_valid, band, blur,
-                      am, g_i, sub_ref, a_ref, ph_ref, templ_ref, j0_ref,
-                      val_ref, g_ref, h_ref):
+                      am, ch, g_i, sub_ref, a_ref, ph_ref, templ_ref,
+                      j0_ref, val_ref, g_ref, h_ref):
     """Whole LK iteration from the 3x3 warp algebra up: point projection,
     quotient-rule warp Jacobian, tap weights, MXU sampling contractions,
     SSD residual, g = J^T r and J^T J — no per-point tensor ever leaves
@@ -266,10 +266,16 @@ def _chain_kernel_one(kind, hc, wc, n_s, rpad, tn, n_valid, band, blur,
         y0i = jnp.floor(ymin).astype(jnp.int32) - 2 - br
         y0i = jnp.bitwise_and(jnp.clip(y0i, 0, hc - band), ~15)
         y0i = pl.multiple_of(y0i, 16)
-        sub = sub_ref[g_i, pl.ds(y0i, band), :]             # (band, Wc)
+
+        def sub_of(c):
+            # MC windows are channel-stacked rows (C*Hc, Wc); callers
+            # guarantee hc % 16 == 0 so the dynamic start stays
+            # sublane-tile aligned for every channel
+            return sub_ref[g_i, pl.ds(c * hc + y0i, band), :]
         y0f = y0i.astype(jnp.float32)
     else:
-        sub = sub_ref[g_i, :, :]                            # (Hc, Wc) bf16
+        def sub_of(c):
+            return sub_ref[g_i, c * hc:(c + 1) * hc, :]
         y0f = jnp.float32(0.0)
     hiy = ((band - 1.001) if kind == "linear" else (band - 2.001)) - br
     x = jnp.clip(xr, lo, hix)
@@ -280,22 +286,39 @@ def _chain_kernel_one(kind, hc, wc, n_s, rpad, tn, n_valid, band, blur,
         jnp.float32)
     wyt, dpyt = _weights_dense(ky - y[None, :], kind, blur)  # (band, TN)
 
-    tmp = jnp.dot(sub, wxt.astype(jnp.bfloat16),
-                  preferred_element_type=jnp.float32)       # (band, TN)
-    tmp_dx = jnp.dot(sub, dpxt.astype(jnp.bfloat16),
-                     preferred_element_type=jnp.float32)
-    val = jnp.sum(wyt * tmp, axis=0)
-    dx = -jnp.sum(wyt * tmp_dx, axis=0)
-    dy = -jnp.sum(dpyt * tmp, axis=0)
-    val_ref[g_i, 0, :] = val
+    # per-channel sampling against the SHARED tap weights — the weight
+    # build is the kernel's VPU bottleneck, so MC costs only `ch` extra
+    # MXU dots, not `ch` weight builds (AM/src/MC*.cc channel semantics)
+    wxb = wxt.astype(jnp.bfloat16)
+    dxb = dpxt.astype(jnp.bfloat16)
+    lv = live.astype(jnp.float32)
+    g_acc = h_acc = None
+    val = dx = dy = None
+    for c in range(ch):
+        sub = sub_of(c)
+        tmp = jnp.dot(sub, wxb,
+                      preferred_element_type=jnp.float32)   # (band, TN)
+        tmp_dx = jnp.dot(sub, dxb, preferred_element_type=jnp.float32)
+        val = jnp.sum(wyt * tmp, axis=0)
+        dx = -jnp.sum(wyt * tmp_dx, axis=0)
+        dy = -jnp.sum(dpyt * tmp, axis=0)
+        val_ref[g_i, c, :] = val
+        Jm = (jx * dx[None, :] + jy * dy[None, :]) * lv[None, :]  # (S, TN)
+        if j0_ref is not None:
+            # ESM: mean of current + (constant) template Jacobians
+            # (NT/ESM.cc:228-230); J0 padded columns are zero so the
+            # live mask is preserved (single-channel only — gated)
+            Jm = 0.5 * (Jm + j0_ref[g_i])
+        if am == "ncc":
+            break                         # NCC handled below (ch == 1)
+        gI = templ_ref[g_i, c, :] - val                    # SSD residual
+        g_c = jnp.sum(Jm * gI[None, :], axis=1, keepdims=True)
+        h_c = jax.lax.dot_general(
+            Jm, Jm, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        g_acc = g_c if g_acc is None else g_acc + g_c
+        h_acc = h_c if h_acc is None else h_acc + h_c
 
-    Jm = (jx * dx[None, :] + jy * dy[None, :]) * \
-        live.astype(jnp.float32)[None, :]                   # (S, TN)
-    if j0_ref is not None:
-        # ESM: mean of current + (constant) template Jacobians
-        # (NT/ESM.cc:228-230); J0 padded columns are zero so the live
-        # mask is preserved
-        Jm = 0.5 * (Jm + j0_ref[g_i])
     if am == "ncc":
         # NCC gradient w.r.t. the raw patch, matching AD through
         # am/ncc.py _center_norm (single tile: the stats span all live
@@ -310,11 +333,8 @@ def _chain_kernel_one(kind, hc, wc, n_s, rpad, tn, n_valid, band, blur,
         dotc = jnp.sum(n0 * c)
         eps = 1e-8
         gI = n0 / (nrm + eps) - dotc * c / (nrm * (nrm + eps) ** 2)
-    else:
-        gI = templ_ref[g_i, 0, :] - val                     # SSD residual
-    g = jnp.sum(Jm * gI[None, :], axis=1, keepdims=True)
-    g_ref[g_i, 0, 0, :] = g[:, 0]
-    if am == "ncc":
+        g = jnp.sum(Jm * gI[None, :], axis=1, keepdims=True)
+        g_ref[g_i, 0, 0, :] = g[:, 0]
         # closed-form NCC GN Hessian at the SELF state (hess selft;
         # reference cmptSelfHessian, NCC.cc:124-410): with the centering
         # projection folded into row-centered J̃ and ĉ = c/r,
@@ -333,22 +353,22 @@ def _chain_kernel_one(kind, hc, wc, n_s, rpad, tn, n_valid, band, blur,
             preferred_element_type=jnp.float32)
         h_ref[g_i, 0, :, :] = (jtjc - uut) / (nrm * nrm)
         return
-    # J^T J at full precision: (S, TN)x(S, TN) is ~1M MACs (vs the 50M+
-    # sampling dots) and the GN step solves against this matrix directly
-    # J^T J at DEFAULT (bf16-operand) precision: unlike the coordinate
-    # dots, H only steers the GN step — the r4 sweep measured +2.6% fps
-    # for 0.06 px corner movement, and the fleet GT leg stays ~0.1 px
-    h_ref[g_i, 0, :, :] = jax.lax.dot_general(
-        Jm, Jm, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    # SSD: channel-summed g and J^T J (the per-channel dots ran in the
+    # sampling loop above). H at DEFAULT (bf16-operand) precision: unlike
+    # the coordinate dots, H only steers the GN step — the r4 sweep
+    # measured +2.6% fps for 0.06 px corner movement, and the fleet GT
+    # leg stays ~0.1 px
+    g_ref[g_i, 0, 0, :] = g_acc[:, 0]
+    h_ref[g_i, 0, :, :] = h_acc
 
 
 @functools.lru_cache(maxsize=None)
 def _chain_core_for(kind: str, n_s: int, n_valid: int,
                     interpret: bool = False, blur: int = 0,
-                    am: str = "ssd", esm: bool = False):
+                    am: str = "ssd", esm: bool = False, ch: int = 1):
     def batched(subs, A, ph, templ, j0=None):
-        b, hc, wc = subs.shape
+        b, hcc, wc = subs.shape
+        hc = hcc // ch
         n_pad = ph.shape[2]
         rpad = (A.shape[1] - 8) // 3
         if am == "ncc":
@@ -357,6 +377,10 @@ def _chain_core_for(kind: str, n_s: int, n_valid: int,
             tn, band = _tile_of(n_pad), hc
         else:
             tn, band = _chain_tile_of(n_pad, hc)
+        if ch > 1 and band < hc and hc % 16:
+            # banded MC needs every channel's dynamic row start
+            # (c*hc + y0) 16-aligned
+            band = hc
         t = n_pad // tn
         # tracker grouping: decimated coarse phases (small N) are
         # launch/DMA-overhead-bound — at B=1024 the per-grid-step fixed
@@ -368,20 +392,20 @@ def _chain_core_for(kind: str, n_s: int, n_valid: int,
         while grp > 1 and b % grp:
             grp //= 2
         gb = b // grp
-        sub_blk = pl.BlockSpec((grp, hc, wc), lambda i, j: (i, 0, 0),
+        sub_blk = pl.BlockSpec((grp, ch * hc, wc), lambda i, j: (i, 0, 0),
                                memory_space=pltpu.VMEM)
         ablk = pl.BlockSpec((grp, A.shape[1], 3), lambda i, j: (i, 0, 0),
                             memory_space=pltpu.VMEM)
         phblk = pl.BlockSpec((grp, 3, tn), lambda i, j: (i, 0, j),
                              memory_space=pltpu.VMEM)
-        vec = pl.BlockSpec((grp, 1, tn), lambda i, j: (i, 0, j),
+        vec = pl.BlockSpec((grp, ch, tn), lambda i, j: (i, 0, j),
                            memory_space=pltpu.VMEM)
         gblk = pl.BlockSpec((grp, 1, 1, n_s), lambda i, j: (i, j, 0, 0),
                             memory_space=pltpu.VMEM)
         hblk = pl.BlockSpec((grp, 1, n_s, n_s), lambda i, j: (i, j, 0, 0),
                             memory_space=pltpu.VMEM)
         in_specs = [sub_blk, ablk, phblk, vec]
-        operands = [subs, A, ph, templ[:, None]]
+        operands = [subs, A, ph, templ]          # templ: (b, ch, n_pad)
         if esm:
             j0blk = pl.BlockSpec((grp, n_s, tn), lambda i, j: (i, 0, j),
                                  memory_space=pltpu.VMEM)
@@ -389,19 +413,19 @@ def _chain_core_for(kind: str, n_s: int, n_valid: int,
             operands.append(j0)
         val, g, h = pl.pallas_call(
             functools.partial(_chain_kernel, kind, hc, wc, n_s, rpad, tn,
-                              n_valid, band, blur, grp, am, esm),
+                              n_valid, band, blur, grp, am, esm, ch),
             grid=(gb, t),
             in_specs=in_specs,
             out_specs=(vec, gblk, hblk),
-            out_shape=(jax.ShapeDtypeStruct((b, 1, n_pad), jnp.float32),
+            out_shape=(jax.ShapeDtypeStruct((b, ch, n_pad), jnp.float32),
                        jax.ShapeDtypeStruct((b, t, 1, n_s), jnp.float32),
                        jax.ShapeDtypeStruct((b, t, n_s, n_s), jnp.float32)),
             cost_estimate=pl.CostEstimate(
-                flops=2 * 2 * b * n_pad * band * wc, transcendentals=0,
-                bytes_accessed=b * (hc * wc * 2 + n_pad * 4 * 5)),
+                flops=2 * 2 * ch * b * n_pad * band * wc, transcendentals=0,
+                bytes_accessed=b * (ch * hc * wc * 2 + n_pad * 4 * 5)),
             interpret=interpret,
         )(*operands)
-        return val[:, 0], g[:, :, 0], h
+        return val, g[:, :, 0], h
 
     if esm:
         @jax.custom_batching.custom_vmap
@@ -441,7 +465,8 @@ def _chain_core_for(kind: str, n_s: int, n_valid: int,
 def lk_fused_chain(img: Array, M0: Array, gens: Array, ph: Array,
                    templ: Array, kind: str = "linear",
                    interpret: bool = False, blur: int = 0,
-                   am: str = "ssd", j0: Array | None = None):
+                   am: str = "ssd", j0: Array | None = None,
+                   channels: int = 1):
     """Chain-fused LK iteration: ONLY 3x3-scale warp algebra stays in XLA.
 
     img (Hc, Wc) pre-cropped window; M0 (3, 3) mapping the homogeneous
@@ -458,9 +483,15 @@ def lk_fused_chain(img: Array, M0: Array, gens: Array, ph: Array,
     Jacobian — when given, J := (J + J0)/2 (the ESM mean Jacobian,
     NT/ESM.cc:228-230) before the reductions, and the returned JtJ is
     the ESM-Jacobian normal matrix.
+
+    `channels` > 1 (SSD only): `img` is the CHANNEL-STACKED window
+    (C*Hc, Wc) and `templ` is (C, N); g/JtJ sum over channels and val
+    returns (C, N). The tap-weight build is shared across channels.
     """
     n = ph.shape[1]
     n_s = gens.shape[0]
+    if templ.ndim == 1:
+        templ = templ[None, :]
     rpad = ((n_s + 7) // 8) * 8
     rows = 8 + 3 * rpad
     # A is LINEAR in M0 (gens are trace-time constants), so assemble it
@@ -490,16 +521,19 @@ def lk_fused_chain(img: Array, M0: Array, gens: Array, ph: Array,
         ph = jnp.concatenate(
             [ph, jnp.tile(jnp.asarray([[0.0], [0.0], [1.0]], ph.dtype),
                           (1, pad))], axis=1)
-        templ = jnp.pad(templ, ((0, pad),))
+        templ = jnp.pad(templ, ((0, 0), (0, pad)))
         if j0 is not None:
             j0 = jnp.pad(j0, ((0, 0), (0, pad)))
     core = _chain_core_for(kind, n_s, n, interpret, blur, am,
-                           j0 is not None)
+                           j0 is not None, channels)
     if j0 is not None:
         val, g, h = core(img.astype(jnp.bfloat16), A, ph, templ, j0)
     else:
         val, g, h = core(img.astype(jnp.bfloat16), A, ph, templ)
-    return val[:n], jnp.sum(g, axis=0), jnp.sum(h, axis=0)
+    val = val[:, :n]
+    if channels == 1:
+        val = val[0]
+    return val, jnp.sum(g, axis=0), jnp.sum(h, axis=0)
 
 
 # NOTE r4: the non-transposed `lk_fused_gn` wrapper and the

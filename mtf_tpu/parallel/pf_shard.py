@@ -45,6 +45,11 @@ class ShardedPF(PF):
     def __init__(self, am, ssm, prm=None, pf=None, *,
                  mesh: Mesh, axis: str = "particle"):
         super().__init__(am, ssm, prm, pf)
+        if self.pf.rescore_top_k > 0:
+            raise ValueError(
+                "PFParams.rescore_top_k needs a global top-k across "
+                "particle shards and is not supported by ShardedPF; "
+                "use score_stride-only decimation or the unsharded PF")
         if self.pf.n_particles % mesh.shape[axis] != 0:
             raise ValueError(
                 f"n_particles={self.pf.n_particles} not divisible by "

@@ -300,13 +300,19 @@ class LKBase(SearchMethod):
                        and prm.hess_type in ("self0", "selft")
                        and am.prm.resx * am.prm.resy <= 4096))
         fuse_jac = (not self.use_esm_jac or prm.jac_type == "original")
+        # multi-channel (MC*) frames ride the same kernel with a
+        # channel-stacked window and channel-summed g/JtJ (SSD only;
+        # ESM's J0 rows interleave N x C and stay generic)
+        mc_ok = (frame.ndim == 3 and am.name == "ssd"
+                 and not self.use_esm_jac and frame.shape[2] <= 4)
         return (use_p and prm.interp.endswith("_mm")
                 and not self.inverse and fuse_jac
                 and self.compositional and fuse_am
                 and am.ilm.n_params == 0
                 and prm.hess_type in ("self0", "selft", "std")
                 and not prm.spi_type and state.spi_mask is None
-                and frame.ndim == 2 and prm.crop_blocks is None
+                and (frame.ndim == 2 or mc_ok)
+                and prm.crop_blocks is None
                 # the fused path re-derives the warp chain as 3x3 matrix
                 # algebra; only valid for SSMs with the default matrix
                 # warp_pts_from (TPS/Spline override it)
@@ -352,30 +358,43 @@ class LKBase(SearchMethod):
         elif prm.crop is not None and (prm.crop < frame.shape[0]
                                        or prm.crop < frame.shape[1]):
             # direct (non-hoisted) call: window from the warped corners
-            h, w = frame.shape
+            h, w = frame.shape[0], frame.shape[1]
             hc, wc = min(prm.crop, h), min(prm.crop, w)
             ci = W.apply_warp(M0, region.base_corners)          # (4, 2)
             x0 = jnp.clip(jnp.floor(jnp.min(ci[:, 0])) - 2.0,
                           0.0, float(w - wc))
             y0 = jnp.clip(jnp.floor(jnp.min(ci[:, 1])) - 2.0,
                           0.0, float(h - hc))
-            frame_w = jax.lax.dynamic_slice(
-                frame, (y0.astype(jnp.int32), x0.astype(jnp.int32)),
-                (hc, wc))
+            starts = (y0.astype(jnp.int32), x0.astype(jnp.int32))
+            if frame.ndim == 3:
+                frame_w = jax.lax.dynamic_slice(
+                    frame, starts + (jnp.zeros((), jnp.int32),),
+                    (hc, wc, frame.shape[2]))
+            else:
+                frame_w = jax.lax.dynamic_slice(frame, starts, (hc, wc))
             offs3 = jnp.stack([x0, y0, jnp.zeros((), x0.dtype)])
             M0 = M0 - offs3[:, None] * M0[2][None, :]
+        n_ch = 1
+        if frame_w.ndim == 3:
+            # MC window: channel-stacked rows (C*Hc, Wc); loop-invariant,
+            # so XLA hoists the transpose out of the iteration loop
+            n_ch = frame_w.shape[2]
+            frame_w = jnp.transpose(frame_w, (2, 0, 1)).reshape(
+                n_ch * frame_w.shape[0], frame_w.shape[1])
         if templ_ov is not None:
             templ = templ_ov
         elif am.name == "ncc":
             # the kernel's NCC mode consumes the centered UNIT template
             templ = state.am_state.extra[0].reshape(-1)
+        elif n_ch > 1:
+            templ = state.am_state.template.T                # (C, N)
         else:
             templ = state.am_state.template.reshape(-1)
         val, j, jtj = lk_fused_chain(frame_w, M0, ssm.generators, ph,
                                      templ, prm.interp[:-3],
                                      interpret=not _tpu_compute(),
                                      blur=int(blur or 0),
-                                     am=am.name, j0=j0)
+                                     am=am.name, j0=j0, channels=n_ch)
         # SSD: selft == std == -J^T J at the current J (d2f/dI2 = -I;
         # with the ESM mean Jacobian jtj is the ESM normal matrix,
         # matching the generic path's J_h = J_esm); self0 is the cached
@@ -388,7 +407,7 @@ class LKBase(SearchMethod):
         Hd = H - damp * jnp.diag(jnp.abs(jnp.diag(H))) \
                - 1e-7 * jnp.eye(S, dtype=H.dtype)
         dq = neg_def_solve(Hd, j)
-        return dq, val[:, None], j
+        return dq, (val.T if n_ch > 1 else val[:, None]), j
 
     # -- one GN/LM iteration -------------------------------------------
     def _iteration(self, state: TrackerState, frame: Array, carry: _LKCarry,

@@ -65,6 +65,27 @@ class PFParams:
                                       # template learning are unchanged;
                                       # requires an AM constructible as
                                       # type(am)(params, ilm).
+    score_blur: bool = False          # anti-alias the decimated scoring
+                                      # pass (binomial blur of window +
+                                      # init template, pixel-unit
+                                      # matched). Multi-seed synth evals
+                                      # measured no ranking benefit once
+                                      # rescore_top_k is on; kept as an
+                                      # option for raw-texture scenes.
+    rescore_top_k: int = 0            # >0 (with score_stride > 1):
+                                      # hierarchical measurement — the
+                                      # coarse decimated pass RANKS all
+                                      # particles, then only the top-K
+                                      # are re-scored at FULL resolution
+                                      # and carry the final weights
+                                      # (auxiliary-PF-style truncation:
+                                      # the rest get -inf log-weight).
+                                      # Recovers the full-resolution
+                                      # measurement model for the
+                                      # particles that matter at
+                                      # ~K/P + 1/stride^2 of the
+                                      # sampling cost. Unsupported by
+                                      # ShardedPF (global top-k).
     seed: int = 0
 
 
@@ -226,11 +247,25 @@ class PF(SearchMethod):
                 if self._sample_am else jnp.zeros((P, 0), jnp.float32))
         score = None
         if self._score_idx is not None:
-            # decimated-grid scoring template = the stride subset of the
-            # full template (identical values to sampling the init frame
-            # at the decimated points)
-            score = self._score_am.init(
-                state.am_state.template[self._score_idx])
+            if self.pf.score_blur and frame.ndim == 2:
+                # anti-aliased decimated template: sampled from the
+                # binomial-BLURRED init frame at the decimated points,
+                # pixel-unit matched to the blurred scoring window
+                from mtf_tpu.sm.lk import LKBase
+                from mtf_tpu.ops import interp as _interp
+                fr_b = LKBase._blur2(frame, self.pf.score_stride)
+                pts = W.apply_warp(
+                    state.region.norm_mat,
+                    state.region.base_pts[self._score_idx])
+                p_b = _interp.sample(fr_b, pts, self.prm.interp,
+                                     self.prm.border)
+                score = self._score_am.init(p_b)
+            else:
+                # raw decimated template = the stride subset of the full
+                # template (identical values to sampling the init frame
+                # at the decimated points)
+                score = self._score_am.init(
+                    state.am_state.template[self._score_idx])
         return PFState(
             particles=particles,
             prev_particles=particles,
@@ -314,12 +349,39 @@ class PF(SearchMethod):
             sc_am, sc_st = self._score_am, ps.score_am
         else:
             bp, sc_am, sc_st = None, self.am, state.am_state
-        patches, valid = self._particle_patches(state.region, prop, frame,
+        frame_sc = frame
+        if bp is not None and self.pf.score_blur and frame.ndim == 2:
+            # anti-aliased decimated scoring: binomial-blur the SHARED
+            # frame (loop-invariant under the fleet vmap, so XLA hoists
+            # it once) to match the blurred init score template
+            from mtf_tpu.sm.lk import LKBase
+            frame_sc = LKBase._blur2(frame, self.pf.score_stride)
+        patches, valid = self._particle_patches(state.region, prop,
+                                                frame_sc,
                                                 reduce_axis=reduce_axis,
                                                 base_pts=bp)
         log_lik = jax.vmap(
             lambda p, pa: self._log_lik(sc_st, p, pa, am=sc_am))(
                 patches, am_prop)
+        K = self.pf.rescore_top_k
+        if K > 0 and bp is not None and reduce_axis is None:
+            # hierarchical measurement (PFParams.rescore_top_k): the
+            # coarse pass above only RANKS; the top-K particles are
+            # re-scored on the full point grid and carry the final
+            # weights, everything else is truncated to -inf (the
+            # resampler concentrates there anyway when the likelihood
+            # is peaked). K/P full-res samples + P/stride^2 coarse ones.
+            P = prop.shape[0]
+            llc = self._apply_window_mask(log_lik, valid)
+            _, topi = jax.lax.top_k(llc, min(K, P))
+            prop_k = prop[topi]
+            patches_k, valid_k = self._particle_patches(
+                state.region, prop_k, frame)
+            ll_k = jax.vmap(
+                lambda p, pa: self._log_lik(state.am_state, p, pa))(
+                    patches_k, am_prop[topi])
+            log_lik = jnp.full((P,), -1e30, log_lik.dtype).at[topi].set(ll_k)
+            valid = jnp.zeros((P,), bool).at[topi].set(valid_k)
         return prop, log_lik, valid
 
     @staticmethod
@@ -393,8 +455,17 @@ class PF(SearchMethod):
                               new_am, am_state)
         new_score = score_am_state
         if score_am_state is not None:
-            ns = self._score_am.update_model(
-                score_am_state, patches[0][self._score_idx])
+            if self.pf.score_blur and frame.ndim == 2:
+                # blurred score template learns from the blurred-frame
+                # mean patch (see _init_extra)
+                from mtf_tpu.sm.lk import LKBase
+                fr_b = LKBase._blur2(frame, self.pf.score_stride)
+                patches_b, _ = self._particle_patches(
+                    state.region, mean_state[None, :], fr_b)
+                sub = patches_b[0][self._score_idx]
+            else:
+                sub = patches[0][self._score_idx]
+            ns = self._score_am.update_model(score_am_state, sub)
             new_score = jax.tree.map(
                 lambda a, b: jnp.where(pvalid[0], a, b), ns,
                 score_am_state)
