@@ -296,13 +296,6 @@ def bench_rklt():
                 B=256, baseline="native_rklt")
 
 
-EXTRA_CONFIGS = [
-    ("esm_ncc_hom8_frames_per_sec_per_chip", bench_esm_ncc),
-    ("mcssd_fclk_hom8_frames_per_sec_per_chip", bench_mcssd),
-    ("pf500_fclm_ssim_hom8_frames_per_sec_per_chip", bench_pf500),
-    ("nn1k_iclm_mi_hom8_frames_per_sec_per_chip", bench_nn1k),
-    ("rklt_ssd_hom8_frames_per_sec_per_chip", bench_rklt),
-]
 
 
 def _scene3(seed=0, h=480, w=640):
@@ -389,3 +382,12 @@ def bench_mcssd():
             "synth_mcd_px": mcd,
             "gray_twin_fps": round(fps_gray, 1),
             "vs_gray_twin": round(fps / fps_gray, 3)}
+
+
+EXTRA_CONFIGS = [
+    ("esm_ncc_hom8_frames_per_sec_per_chip", bench_esm_ncc),
+    ("mcssd_fclk_hom8_frames_per_sec_per_chip", bench_mcssd),
+    ("pf500_fclm_ssim_hom8_frames_per_sec_per_chip", bench_pf500),
+    ("nn1k_iclm_mi_hom8_frames_per_sec_per_chip", bench_nn1k),
+    ("rklt_ssd_hom8_frames_per_sec_per_chip", bench_rklt),
+]

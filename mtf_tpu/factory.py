@@ -199,10 +199,27 @@ def create_tracker(sm: str = "fclk", am: str = "ssd", ssm: str = "8",
     # machinery. Keys with native TPU implementations below (MedianFlow,
     # compressive tracking, Struck) are intercepted like dsst/kcf.
     _native_third_party = {"mf", "rct", "strk", "dft", "frg", "pfsl3",
-                           "tld", "cmt"}
+                           "tld", "cmt", "gtrn", "goturn"}
     from mtf_tpu.third_party import get_third_party, is_third_party
     if is_third_party(sm_key) and sm_key not in _native_third_party:
         return get_third_party(sm_key)
+
+    # GOTURN (ThirdParty/GOTURN, 5,988 LoC): deep bbox regression with
+    # PRETRAINED Caffe weights — the checkpoint is unreachable offline,
+    # so the capability (learned regression tracking) maps to the
+    # WEIGHT-FREE analog: RegNet trained at init on synthetic warps of
+    # the template (GOTURN's own training distribution is exactly such
+    # laboratory motion augmentation), on the 4-DOF similitude state
+    # GOTURN's axis-aligned bbox regression spans, with the wide motion
+    # range GOTURN targets. Not checkpoint-parity; documented in
+    # README's component matrix.
+    if sm_key in ("gtrn", "goturn"):
+        ncfg = dict(cfg)
+        ncfg.setdefault("rg_n_samples", 3000)
+        ncfg.setdefault("rg_pix_sigma", 8.0)
+        ncfg.setdefault("rg_hidden", (256, 128))
+        ncfg.setdefault("rg_max_iters", 4)
+        return create_tracker("regnet", am or "ssd", "4", ilm, **ncfg)
 
     # PFSL3: particle filter on SL(3) — bundled C++ in the reference
     # (ThirdParty/PFSL3/src/PFSL3.cc, defaults :14-33 +
@@ -451,6 +468,7 @@ def create_tracker(sm: str = "fclk", am: str = "ssd", ssm: str = "8",
         from mtf_tpu.sm.regnet import RegNet, RegNetParams
         rp = RegNetParams(
             n_samples=int(cfg.get("rg_n_samples", 2000)),
+            hidden=tuple(cfg.get("rg_hidden", (128, 64))),
             train_steps=int(cfg.get("rg_train_steps", 300)),
             max_iters=int(cfg.get("rg_max_iters", 5)),
             pix_sigma=float(cfg.get("rg_pix_sigma", 4.0)),
