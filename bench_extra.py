@@ -136,15 +136,22 @@ def _corners_batch(B, seed=1):
     return np.asarray(corners, np.float32)
 
 
-def _fleet_fps(sm, B):
-    """Steady-state fleet updates/s on the first (real) device."""
+def _fleet_fps(sm, B, chip_acc=False):
+    """Steady-state fleet updates/s on the first (real) device.
+
+    `chip_acc=True` additionally runs a short exact-GT multi-object
+    sequence through the SAME compiled fleet program (frames rendered
+    host-side) and returns (fps, chip_mcd_px) — the r4 lesson: only GT
+    on real motion ON CHIP exercises the compiled kernel path the
+    timing loop uses (the CPU accuracy leg cannot)."""
     import jax
     from mtf_tpu.parallel import TrackerFleet, make_mesh
 
     mesh = make_mesh({"tracker": 1}, devices=[jax.devices()[0]])
     fleet = TrackerFleet(sm, mesh)
     frame0 = _scene(0)
-    states = fleet.initialize(frame0, _corners_batch(B))
+    corners = _corners_batch(B)
+    states = fleet.initialize(frame0, corners)
     for _ in range(WARMUP):
         states = fleet.update(states, frame0)
     jax.block_until_ready(states)
@@ -152,7 +159,25 @@ def _fleet_fps(sm, B):
     for _ in range(STEPS):
         states = fleet.update(states, frame0)
     jax.block_until_ready(states)
-    return B * STEPS / (time.perf_counter() - t0)
+    fps = B * STEPS / (time.perf_counter() - t0)
+    if not chip_acc:
+        return fps
+    import jax.numpy as jnp
+    from mtf_tpu.utils.synth import synthetic_sequence
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        frames, gt = synthetic_sequence(
+            np.asarray(frame0), jnp.asarray(corners), sm.ssm,
+            n_frames=6, sigma_scale=0.004, seed=3)
+        frames = np.asarray(frames)
+    states = fleet.initialize(frame0, corners)
+    errs = []
+    for t in range(1, len(frames)):
+        states = fleet.update(states, frames[t])
+        c = np.asarray(fleet.corners(states))
+        errs.append(np.mean(np.linalg.norm(
+            np.transpose(c, (0, 2, 1)) - gt[t], axis=-1)))
+    return fps, float(np.mean(errs))
 
 
 def _synth_acc(sm, n_frames=6, sigma_scale=0.01, seed=3):
@@ -192,13 +217,20 @@ def _synth_acc_impl(sm, n_frames, sigma_scale, seed):
     return float(np.mean(errs))
 
 
-def _row(metric, sm_args, sm_kwargs, B, acc_sigma=0.01, baseline=None):
+def _row(metric, sm_args, sm_kwargs, B, acc_sigma=0.01, baseline=None,
+         chip_acc=False):
     from mtf_tpu import create_tracker
     sm = create_tracker(*sm_args, **sm_kwargs)
-    fps = _fleet_fps(sm, B)
+    chip_mcd = None
+    if chip_acc:
+        fps, chip_mcd = _fleet_fps(sm, B, chip_acc=True)
+    else:
+        fps = _fleet_fps(sm, B)
     acc = _synth_acc(sm, sigma_scale=acc_sigma)
     row = {"metric": metric, "value": round(fps, 1), "unit": "frames/s",
            "fleet": B, "synth_mcd_px": round(acc, 3)}
+    if chip_mcd is not None:
+        row["chip_mcd_px"] = round(chip_mcd, 3)
     try:
         if baseline == "native_esm_ncc":
             denom, kind = _native_cfg_fps("esm_ncc"), "native_cpp_1core"
@@ -245,7 +277,7 @@ def bench_esm_ncc():
                 dict(resx=50, resy=50, max_iters=10, epsilon=0.0,
                      interp="linear_mm", crop=144,
                      coarse_pt_iters=((4, 6), (2, 3))), B=512,
-                baseline="native_esm_ncc")
+                baseline="native_esm_ncc", chip_acc=True)
 
 
 def bench_pf500():
@@ -293,7 +325,7 @@ def bench_rklt():
                 dict(resx=50, resy=50, max_iters=10, epsilon=0.0,
                      interp="linear_mm", crop=160,
                      grid_sub_iters=(1, 8), grid_coarse_stride=2),
-                B=256, baseline="native_rklt")
+                B=256, baseline="native_rklt", chip_acc=True)
 
 
 
