@@ -308,7 +308,7 @@ def main():
     # clear_caches alone did not remove; the headline itself also read
     # ~2.5% faster fresh, r3). Isolation costs one interpreter + jax
     # init per row and buys back ~2x on the worst-hit row.
-    budget_s = float(os.environ.get("BENCH_BUDGET_S", "900"))
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "2400"))
     try:
         import subprocess
         import sys

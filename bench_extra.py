@@ -205,7 +205,14 @@ def _synth_acc_impl(sm, n_frames, sigma_scale, seed):
     img = _scene(7, 240, 320)
     corners0 = np.array([[110, 80], [210, 80], [210, 160], [110, 160]],
                         np.float32)
-    frames, gt = synth.synthetic_sequence(img, corners0, sm.ssm,
+    gt_ssm = sm.ssm
+    if getattr(gt_ssm, "name", "") in ("spline", "tps") or gt_ssm is None:
+        # non-rigid SSMs have no 3x3 matrix form for GT generation:
+        # render a homography sequence the non-rigid tracker must
+        # approximate (its corner error vs the projective GT)
+        from mtf_tpu.ssm import get_ssm
+        gt_ssm = get_ssm("8")
+    frames, gt = synth.synthetic_sequence(img, corners0, gt_ssm,
                                           n_frames=n_frames,
                                           sigma_scale=sigma_scale, seed=seed)
     state = sm.initialize(frames[0], jnp.asarray(gt[0]))
@@ -416,8 +423,23 @@ def bench_mcssd():
             "vs_gray_twin": round(fps / fps_gray, 3)}
 
 
+def bench_spline():
+    """Spline (50-DOF non-rigid) bench leg (VERDICT r4 #9): the
+    high-DOF GN solve rides the blocked unrolled Cholesky
+    (ops/linalg.chol_solve_blocked) instead of the LAPACK custom call
+    whose removal bought RKLT 4.7x in r4. Generic XLA path (non-matrix
+    SSM); accuracy leg vs an exact-GT homography sequence the spline
+    must approximate."""
+    return _row("spline50_fclk_ssd_frames_per_sec_per_chip",
+                ("fclk", "ssd", "spline"),
+                dict(resx=32, resy=32, max_iters=5, epsilon=0.0,
+                     interp="linear_mm", crop=144), B=64,
+                acc_sigma=0.004, baseline="jax_cpu")
+
+
 EXTRA_CONFIGS = [
     ("esm_ncc_hom8_frames_per_sec_per_chip", bench_esm_ncc),
+    ("spline50_fclk_ssd_frames_per_sec_per_chip", bench_spline),
     ("mcssd_fclk_hom8_frames_per_sec_per_chip", bench_mcssd),
     ("pf500_fclm_ssim_hom8_frames_per_sec_per_chip", bench_pf500),
     ("nn1k_iclm_mi_hom8_frames_per_sec_per_chip", bench_nn1k),

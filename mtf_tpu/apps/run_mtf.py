@@ -243,7 +243,11 @@ def main(argv=None):
                          "--select (display required)")
 
     state = tracker.initialize(frames[0], init_corners)
-    update = jax.jit(tracker.update)
+    # host-hybrid trackers (cv2 detection inside update: cmt/feat/cv2
+    # adapters) cannot be jitted whole — their device stages jit
+    # internally
+    update = (jax.jit(tracker.update)
+              if getattr(tracker, "jittable", True) else tracker.update)
     # warm-up compile on frame 0 (excluded from FPS)
     state_w = update(state, frames[0])
     jax.block_until_ready(jax.tree_util.tree_leaves(state_w)[0])

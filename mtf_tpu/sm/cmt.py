@@ -85,6 +85,7 @@ class CMTState(NamedTuple):
 class CMT:
     name = "cmt"
     ssm = None  # similarity-bbox tracker (center + scale + rotation)
+    jittable = False  # cv2 keypoint detection runs host-side in update
 
     def __init__(self, prm: CMTParams | None = None):
         self.prm = prm or CMTParams()

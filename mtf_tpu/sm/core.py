@@ -154,6 +154,10 @@ class SearchMethod:
     """
 
     name = "base"
+    jittable = True   # False for host-hybrid trackers (cv2 detection
+                      # inside update: CMT, FeatureTracker, cv2
+                      # adapters) — run_mtf and fleets must not jit/vmap
+                      # their update
 
     def __init__(self, am: AM, ssm: SSM, prm: SMParams | None = None):
         self.am = am

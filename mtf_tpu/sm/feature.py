@@ -157,6 +157,8 @@ class FeatureTracker(SearchMethod):
     """TrackerBase-compatible sparse feature tracker ('feat' key)."""
 
     name = "feat"
+    jittable = False  # cv2 detection runs host-side in _update; use
+                      # update_with_detections for the jittable stage
 
     def __init__(self, ssm, prm: SMParams | None = None,
                  feat: FeatureParams | None = None):

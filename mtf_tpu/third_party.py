@@ -44,6 +44,8 @@ def _bbox_of(corners) -> tuple:
 class CVTrackerAdapter:
     """Adapter for OpenCV tracking-API trackers (TrackerBase contract)."""
 
+    jittable = False  # stateful host-side objects
+
     def __init__(self, make_impl, name: str):
         self._make = make_impl
         self.name = name
