@@ -316,23 +316,25 @@ def bench_nn1k():
                 ("nnic", "mi", "8"),
                 dict(resx=25, resy=25, nn_n_samples=1000, enable_lm=True,
                      max_iters=10, interp="linear_mm", crop=224,
-                     n_bins=32), B=32,
+                     n_bins=32, coarse_pt_iters=((2, 5),)), B=32,
                 acc_sigma=0.005, baseline="native_nn1k")
 
 
 def bench_rklt():
     """BASELINE config #5 (single-chip half): RKLT = grid + RANSAC +
-    template ESM refiner. Grid schedule (1, 8) + coarse point stride 2
-    (r4 session-2 chip sweep at B=256: flat-10 2,790 -> 5,514 fps at
-    equal synthetic accuracy, log/ab_round2.log — the coarse pyramid
-    level absorbs the motion, the ESM refiner polishes, so one full-res
-    grid iteration suffices)."""
+    template ESM refiner, r5 configuration: the fused Pallas grid-flow
+    kernel (whole per-level joint iteration in VMEM) + the fused
+    ESM-LM refiner WITH the coarse-to-fine point schedule (legal under
+    LM since r5). Same-session chip lineage at B=256: r4 flat 2,790 ->
+    (1,8)+s2 5,514 -> fused grid 8,130 -> +coarse refiner 12,533 fps
+    at 0.093 px chip GT; B=512 reads 12,928 (log/ab_rklt_b.log)."""
     return _row("rklt_ssd_hom8_frames_per_sec_per_chip",
                 ("rklt", "ssd", "8"),
                 dict(resx=50, resy=50, max_iters=10, epsilon=0.0,
                      interp="linear_mm", crop=160,
-                     grid_sub_iters=(1, 8), grid_coarse_stride=2),
-                B=256, baseline="native_rklt", chip_acc=True)
+                     grid_sub_iters=(1, 8), grid_coarse_stride=2,
+                     coarse_pt_iters=((4, 6), (2, 3))),
+                B=512, baseline="native_rklt", chip_acc=True)
 
 
 

@@ -328,9 +328,25 @@ def main(argv=None):
         base = os.path.join(args.out_dir, f"{seq_name}_{sm}_{am}_{ssm}")
         gtio.write_corners_file(base + ".txt", np.stack(tracked))
         gtio.write_errors_file(base + ".err", errors)
+        try:
+            # diagnostics curves (graphUtils.cc analog): per-frame error
+            # + SR curve rendered as PNGs next to the artifact files
+            from mtf_tpu.utils.viz import render_curves
+            render_curves({args.err_metric: errors}, base + "_err.png",
+                          title=f"{seq_name} {sm}/{am} per-frame error",
+                          x_label="frame", y_label="px")
+        except Exception:
+            pass
         if errs.size:
             th, sr_curve, _ = metrics.success_rate_curve(errs)
             gtio.write_sr_file(base + ".sr", th, sr_curve)
+            try:
+                from mtf_tpu.utils.viz import render_curves
+                render_curves({"SR": sr_curve}, base + "_sr.png",
+                              title=f"{seq_name} {sm}/{am} success rate",
+                              x_label="threshold (px)", y_label="SR")
+            except Exception:
+                pass
         gtio.append_tracking_stats(
             os.path.join(args.out_dir, "tracking_stats.txt"), summary)
     return fps, avg_err

@@ -24,9 +24,11 @@ MXU dots are sub (Hc, Wc) @ wxT (Wc, TN) and no operand, intermediate or
 output is ever relayouted. The previous interface's trailing-1 blocks
 ((B, N, 1)) cost ~7 ms/iter in 1/128-efficiency pads/slices/copies.
 
-Used by sm/lk.py for the forward-compositional + self0-Hessian + SSD +
-grayscale fast path (the BASELINE headline config); everything else
-falls back to the XLA dense path.
+Used by sm/lk.py for the forward-compositional fast paths: SSD (any
+channel count — MC windows are channel-stacked with ONE shared weight
+build), NCC (exact centered-norm gradient + closed-form self Hessian,
+single point tile), and the ESM mean-Jacobian variant (constant J0
+operand). Everything else falls back to the XLA dense path.
 """
 from __future__ import annotations
 

@@ -82,3 +82,74 @@ class VideoRecorder:
         if self._writer is not None:
             self._writer.release()
             self._writer = None
+
+
+def render_curves(series: dict, path: str, title: str = "",
+                  size=(360, 640), y_label: str = "", x_label: str = "",
+                  show: bool = False):
+    """Render named scalar series as a line plot PNG via cv2 — the
+    `graphUtils.cc` live-diagnostics-curve analog
+    (/root/reference/Utilities/src/graphUtils.cc renders tracker error /
+    similarity curves into a cv window; this environment is headless and
+    has no matplotlib, so curves draw with cv2 primitives and write to
+    `path`; `show=True` additionally cv2.imshow's the canvas when a
+    display exists).
+
+    series: {name: 1-D array-like}. Returns the BGR canvas.
+    """
+    import cv2
+    h, w = size
+    m = 46                                      # margin
+    canvas = np.full((h, w, 3), 255, np.uint8)
+    colors = [(180, 60, 30), (30, 120, 200), (40, 160, 60),
+              (150, 40, 160), (20, 80, 120), (100, 100, 100)]
+    ys = [np.asarray(v, np.float64).ravel() for v in series.values()]
+    if not ys or all(len(y) == 0 for y in ys):
+        cv2.imwrite(path, canvas)
+        return canvas
+    ymin = min(float(np.nanmin(y)) for y in ys if len(y))
+    ymax = max(float(np.nanmax(y)) for y in ys if len(y))
+    if not np.isfinite(ymin) or not np.isfinite(ymax) or ymax <= ymin:
+        ymin, ymax = 0.0, max(1.0, ymax if np.isfinite(ymax) else 1.0)
+    pad = 0.05 * (ymax - ymin)
+    ymin, ymax = ymin - pad, ymax + pad
+    nmax = max(len(y) for y in ys)
+    # axes + gridlines with tick labels
+    cv2.rectangle(canvas, (m, m // 2), (w - m // 4, h - m), (0, 0, 0), 1)
+    for k in range(5):
+        yv = ymin + (ymax - ymin) * k / 4
+        py = int(np.interp(yv, [ymin, ymax], [h - m, m // 2]))
+        cv2.line(canvas, (m, py), (w - m // 4, py), (225, 225, 225), 1)
+        cv2.putText(canvas, f"{yv:.3g}", (2, py + 4),
+                    cv2.FONT_HERSHEY_SIMPLEX, 0.35, (60, 60, 60), 1)
+    for i, (name, y) in enumerate(series.items()):
+        y = np.asarray(y, np.float64).ravel()
+        if len(y) < 2:
+            continue
+        xs = np.interp(np.arange(len(y)), [0, max(1, nmax - 1)],
+                       [m, w - m // 4]).astype(np.int32)
+        pys = np.interp(np.clip(y, ymin, ymax), [ymin, ymax],
+                        [h - m, m // 2]).astype(np.int32)
+        pts = np.stack([xs, pys], -1).reshape(-1, 1, 2)
+        cv2.polylines(canvas, [pts], False, colors[i % len(colors)], 1,
+                      cv2.LINE_AA)
+        cv2.putText(canvas, name, (m + 6, m // 2 + 16 + 16 * i),
+                    cv2.FONT_HERSHEY_SIMPLEX, 0.45,
+                    colors[i % len(colors)], 1)
+    if title:
+        cv2.putText(canvas, title, (m, m // 2 - 6),
+                    cv2.FONT_HERSHEY_SIMPLEX, 0.5, (0, 0, 0), 1)
+    if x_label:
+        cv2.putText(canvas, x_label, (w // 2, h - m // 3),
+                    cv2.FONT_HERSHEY_SIMPLEX, 0.4, (60, 60, 60), 1)
+    if y_label:
+        cv2.putText(canvas, y_label, (2, 14),
+                    cv2.FONT_HERSHEY_SIMPLEX, 0.4, (60, 60, 60), 1)
+    cv2.imwrite(path, canvas)
+    if show:  # pragma: no cover - display path
+        try:
+            cv2.imshow(title or "curves", canvas)
+            cv2.waitKey(1)
+        except Exception:
+            pass
+    return canvas
