@@ -290,16 +290,20 @@ def bench_esm_ncc():
 def bench_pf500():
     """BASELINE config #4 (single-chip half): PF(500) + FCLM/SSIM/hom —
     the reference headline config (ReadMe.md:434, LinTrack towel).
-    pf_score_stride=2: likelihoods on the 13x13 stride subset (r4
-    session-2 chip A/B at B=32: 1,287 -> 2,685 fps at equal accuracy,
-    0.289 vs 0.292 px; stride 3 degrades to 0.52 px — rejected,
-    log/ab_round2.log)."""
+    r5 hierarchical measurement: anti-aliased stride-4 coarse RANKING +
+    full-resolution rescore of the top 64 (PFParams.rescore_top_k).
+    Chip GT at B=32 (log/probe_pf_acc.log): the r4 stride-2 config read
+    8.5 px on the multi-object chip leg; s4b+top64 reads 0.65 px AND is
+    faster (3.1k vs 2.7k); 5-seed CPU synth 0.198 px == stride-2's
+    0.202. B=128: the hierarchical config restored width scaling
+    (4.6k fps; r4 was width-flat at 1.3k)."""
     return _row("pf500_fclm_ssim_hom8_frames_per_sec_per_chip",
                 ("pffc", "ssim", "8"),
                 dict(resx=25, resy=25, pf_n_particles=500, enable_lm=True,
                      max_iters=10, interp="linear_mm", crop=256,
-                     pf_score_stride=2), B=32,
-                acc_sigma=0.005, baseline="native_pf500")
+                     pf_score_stride=4, pf_score_blur=True,
+                     pf_rescore_top_k=64), B=128,
+                acc_sigma=0.005, baseline="native_pf500", chip_acc=True)
 
 
 def bench_nn1k():

@@ -1,0 +1,156 @@
+"""Round-5 feature regression tests: fused grid flow, chain-kernel
+NCC/ESM/MC modes, LM coarse phases, PF hierarchical scoring.
+
+All run on the forced-CPU conftest backend; the Pallas kernels execute
+in interpret mode (compiled-mode parity is the MTF_TPU_CI=1 lane,
+tests/test_tpu_compiled.py)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mtf_tpu import create_tracker
+from mtf_tpu.utils import synth
+
+
+def _scene2(rng, h=240, w=320, ch=None):
+    shape = (h, w) if ch is None else (h, w, ch)
+    img = np.cumsum(np.cumsum(rng.normal(0, 1, shape), 0), 1)
+    img = (img - img.min()) / (img.max() - img.min()) * 255.0
+    return jnp.asarray(img, jnp.float32)
+
+
+def _one_update_corners(key, am, use_pallas, frame, f2, **kw):
+    trk = create_tracker(key, am, "8", resx=50, resy=50, max_iters=10,
+                         epsilon=0.0, interp="linear_mm", crop=144,
+                         use_pallas=use_pallas, **kw)
+    corners = jnp.asarray([[110, 80], [210, 80], [210, 160], [110, 160]],
+                          jnp.float32)
+    st = trk.initialize(frame, corners)
+    if use_pallas:
+        assert trk._fused_ok(st, frame), (key, am, kw, "not fused")
+    st = jax.jit(trk.update)(st, f2)
+    return np.asarray(trk.corners(st))
+
+
+@pytest.mark.parametrize("key,am,kw", [
+    ("esm", "ncc", {}),
+    ("fclk", "ncc", {}),
+    ("esm", "ssd", {}),
+    ("esm", "ncc", {"coarse_pt_iters": ((2, 4),)}),
+    ("esm", "ncc", {"hess_type": "self0"}),
+])
+def test_chain_kernel_ncc_esm_parity(rng, key, am, kw):
+    """NCC gradient / self-Hessian and ESM mean-Jacobian kernel modes
+    match the generic XLA path (interpret mode; bf16-window tolerance)."""
+    frame = _scene2(rng)
+    f2 = jnp.roll(frame, (3, 2), (0, 1))
+    c0 = _one_update_corners(key, am, False, frame, f2, **kw)
+    c1 = _one_update_corners(key, am, True, frame, f2, **kw)
+    assert np.abs(c0 - c1).max() < 0.05, (key, am, kw)
+
+
+def test_chain_kernel_mc_parity(rng):
+    """Multi-channel SSD rides the chain kernel (channel-stacked window)
+    and matches the XLA dense path."""
+    frame = _scene2(rng, ch=3)
+    f2 = jnp.roll(frame, (3, 2), (0, 1))
+    c0 = _one_update_corners("fclk", "mcssd", False, frame, f2)
+    c1 = _one_update_corners("fclk", "mcssd", True, frame, f2)
+    assert np.abs(c0 - c1).max() < 0.05
+
+
+def test_grid_flow_fused_parity(rng):
+    """The fused grid-flow kernel (whole joint-iteration loop in-kernel)
+    matches the XLA per-iteration path through a full GridTracker
+    update, including decimated coarse levels."""
+    frame = _scene2(rng)
+    f2 = jnp.roll(frame, (3, 2), (0, 1))
+    corners = jnp.asarray([[110, 80], [210, 80], [210, 160], [110, 160]],
+                          jnp.float32)
+    cs = {}
+    for up in (False, True):
+        trk = create_tracker("grid", "ssd", "8", resx=50, resy=50,
+                             interp="linear_mm", crop=160,
+                             grid_sub_iters=(1, 8), grid_coarse_stride=2,
+                             use_pallas=up)
+        st = trk.initialize(frame, corners)
+        st = jax.jit(trk.update)(st, f2)
+        cs[up] = np.asarray(trk.corners(st))
+    assert np.abs(cs[False] - cs[True]).max() < 0.1
+
+
+def test_lm_coarse_phases_converge(rng):
+    """coarse_pt_iters under LM (phase-consistent f): accuracy within
+    1.5x of the flat schedule on an exact-GT sequence."""
+    img = _scene2(rng)
+    corners0 = np.array([[110, 80], [210, 80], [210, 160], [110, 160]],
+                        np.float32)
+
+    def acc(**kw):
+        trk = create_tracker("eslm", "ncc", "8", resx=50, resy=50,
+                             max_iters=10, interp="linear_mm", crop=144,
+                             **kw)
+        frames, gt = synth.synthetic_sequence(
+            img, corners0, trk.ssm, n_frames=5, sigma_scale=0.02, seed=3)
+        st = trk.initialize(frames[0], jnp.asarray(gt[0]))
+        errs = []
+        for i in range(1, len(frames)):
+            st = trk.update(st, frames[i])
+            c = np.asarray(trk.corners(st)).T
+            errs.append(float(np.mean(np.linalg.norm(c - gt[i], axis=-1))))
+        return np.mean(errs)
+
+    flat = acc()
+    coarse = acc(coarse_pt_iters=((4, 4), (2, 3)))
+    assert coarse < max(1.5 * flat, flat + 0.05), (flat, coarse)
+
+
+def test_pf_rescore_top_k(rng):
+    """Hierarchical PF scoring (coarse rank -> top-K full-res rescore)
+    tracks an exact-GT sequence within the stride-2 budget."""
+    img = _scene2(rng)
+    corners0 = np.array([[110, 80], [210, 80], [210, 160], [110, 160]],
+                        np.float32)
+
+    def acc(**kw):
+        trk = create_tracker("pffc", "ssim", "8", resx=25, resy=25,
+                             pf_n_particles=300, enable_lm=True,
+                             max_iters=10, interp="linear_mm", crop=256,
+                             **kw)
+        frames, gt = synth.synthetic_sequence(
+            img, corners0, trk.ssm, n_frames=4, sigma_scale=0.005, seed=3)
+        st = trk.initialize(frames[0], jnp.asarray(gt[0]))
+        errs = []
+        for i in range(1, len(frames)):
+            st = trk.update(st, frames[i])
+            c = np.asarray(trk.corners(st)).T
+            errs.append(float(np.mean(np.linalg.norm(c - gt[i], axis=-1))))
+        return np.mean(errs)
+
+    hier = acc(pf_score_stride=4, pf_score_blur=True, pf_rescore_top_k=32)
+    assert hier < 1.0, hier
+
+
+def test_pf_rescore_sharded_rejected():
+    """ShardedPF refuses rescore_top_k at construction (global top-k)."""
+    from mtf_tpu.am import get_am
+    from mtf_tpu.parallel import make_mesh
+    from mtf_tpu.parallel.pf_shard import ShardedPF
+    from mtf_tpu.sm.pf import PFParams
+    from mtf_tpu.ssm import get_ssm
+
+    mesh = make_mesh({"particle": 2})
+    with pytest.raises(ValueError, match="rescore_top_k"):
+        ShardedPF(get_am("ssd"), get_ssm("2"),
+                  pf=PFParams(n_particles=64, score_stride=2,
+                              rescore_top_k=8),
+                  mesh=mesh, axis="particle")
+
+
+def test_goturn_analog_key():
+    """gtrn/goturn resolve to the weight-free RegNet analog."""
+    trk = create_tracker("goturn", "ssd", "4", rg_n_samples=200,
+                         rg_train_steps=30)
+    assert type(trk).__name__ == "RegNet"
+    assert trk.ssm.dof == 4
