@@ -294,15 +294,18 @@ def bench_pf500():
     full-resolution rescore of the top 64 (PFParams.rescore_top_k).
     Chip GT at B=32 (log/probe_pf_acc.log): the r4 stride-2 config read
     8.5 px on the multi-object chip leg; s4b+top64 reads 0.65 px AND is
-    faster (3.1k vs 2.7k); 5-seed CPU synth 0.198 px == stride-2's
-    0.202. B=128: the hierarchical config restored width scaling
-    (4.6k fps; r4 was width-flat at 1.3k)."""
+    faster (3.1k vs 2.7k). pix_sigma 2.0 (a reference sigma knob) tames
+    the small-flat-cell random-walk drift: chip GT at B=128 3.18 ->
+    0.37 px and the 5-seed CPU synth IMPROVES to 0.167 px
+    (log/pf_sig2.log); the FCLM refiner + feedback covers the coarse
+    motion the tighter proposal no longer explores. B=128: width
+    scaling restored (~4k fps; r4 was width-flat at 1.3k)."""
     return _row("pf500_fclm_ssim_hom8_frames_per_sec_per_chip",
                 ("pffc", "ssim", "8"),
                 dict(resx=25, resy=25, pf_n_particles=500, enable_lm=True,
                      max_iters=10, interp="linear_mm", crop=256,
                      pf_score_stride=4, pf_score_blur=True,
-                     pf_rescore_top_k=64), B=128,
+                     pf_rescore_top_k=64, pf_pix_sigma=2.0), B=128,
                 acc_sigma=0.005, baseline="native_pf500", chip_acc=True)
 
 
