@@ -275,15 +275,20 @@ def _row(metric, sm_args, sm_kwargs, B, acc_sigma=0.01, baseline=None,
 
 
 def bench_esm_ncc():
-    """BASELINE config #2: ESM + NCC on 8-DOF homography. r4: the
-    generalized coarse-to-fine schedule (generic XLA path) measured
-    9.7k -> 28.3k fps at B=512 with BETTER synthetic accuracy (0.091 vs
-    0.102 px — wider basin, same as the fused family)."""
+    """BASELINE config #2: ESM + NCC on 8-DOF homography — r5: the chain
+    kernel's NCC mode (exact centered-norm gradient + closed-form selft
+    Hessian in-kernel) + ESM mean Jacobian via the constant-J0 operand.
+    Same-session chip lineage: r4 generic 26.8k (B=512) -> fused 42.3k
+    -> B=1024 47.9k fps at 0.102 px chip GT (log/ab_esm_b2.log). The
+    hess_type stays selft: the self0 (cached-H0) variant diverges on
+    one fleet cell ON CHIP at this motion despite clean CPU GT —
+    constant curvature + bf16 sampling noise has no per-iteration
+    correction."""
     return _row("esm_ncc_hom8_frames_per_sec_per_chip",
                 ("esm", "ncc", "8"),
                 dict(resx=50, resy=50, max_iters=10, epsilon=0.0,
                      interp="linear_mm", crop=144,
-                     coarse_pt_iters=((4, 6), (2, 3))), B=512,
+                     coarse_pt_iters=((4, 6), (2, 3))), B=1024,
                 baseline="native_esm_ncc", chip_acc=True)
 
 
