@@ -131,6 +131,7 @@ def _nn_params(cfg: dict, n_samples: int | None = None) -> NNParams:
         pix_sigma=float(cfg.get("nn_pix_sigma", 4.0)),
         ssm_sigma=tuple(cfg.get("nn_ssm_sigma", ())) or
         _sigma_from_ids(cfg, "nn_ssm_sigma_ids"),
+        dist_feat=str(cfg.get("nn_dist_feat", "am")),
         add_samples_gap=int(cfg.get("nn_add_samples_gap", 0)),
         n_samples_to_add=int(cfg.get("nn_n_samples_to_add", 8)),
         seed=int(cfg.get("seed", 0)),

@@ -47,6 +47,15 @@ class NNParams:
                                # 0 disables (NNParams.h:29-33)
     n_samples_to_add: int = 8  # ring-replaced per update (oldest evicted,
                                # keeping the dataset at n_samples)
+    dist_feat: str = "am"      # "am" = the AM's distance-feature space
+                               # (updateDistFeat, AppearanceModel.h:263)
+                               # | "raw" = flattened raw patch (L2/SSD
+                               # distance for the SEARCH stage only —
+                               # the refiner cascade keeps the AM). For
+                               # histogram-space AMs (MI: 625 px x
+                               # n_bins floats per sample) "raw" cuts
+                               # dataset memory n_bins-fold, lifting
+                               # the fleet-width HBM cap.
     use_gnn: bool = False      # greedy kNN-graph descent (GNN.h:31-80)
     gnn_k: int = 10            # neighbors per graph node
     gnn_max_steps: int = 32    # descent-step cap (graph diameter bound)
@@ -124,8 +133,13 @@ class NN(SearchMethod):
             return val
         return interp.sample(frame, pts, self.prm.interp, self.prm.border)
 
+    def _dist_feat(self, patch):
+        if self.nn.dist_feat == "raw":
+            return patch.reshape(-1)
+        return self.am.dist_feat(patch)
+
     def _feat_at(self, region, s, frame):
-        return self.am.dist_feat(self._patch_at(region, s, frame))
+        return self._dist_feat(self._patch_at(region, s, frame))
 
     def _draw_dps(self, state: TrackerState) -> Array:
         """The (K, S) dataset perturbation draw (identical in NN and
@@ -217,7 +231,7 @@ class NN(SearchMethod):
         def body(carry):
             s, it, done = carry
             patch = self._patch_at(state.region, s, frame)
-            q = self.am.dist_feat(patch)
+            q = self._dist_feat(patch)
             best = self._best_idx(ns, q)
             s_new = ssm.compositional_update(s, ns.dps[best])
             change = jnp.max(jnp.linalg.norm(
@@ -244,7 +258,7 @@ class NN(SearchMethod):
 
             def feat_of(dp):
                 s_k = ssm.compositional_update(s_out, dp)
-                return self.am.dist_feat(
+                return self._dist_feat(
                     self._patch_at(state.region, s_k, frame))
 
             f_new = jax.vmap(feat_of)(dp_new)                  # (A, D)
