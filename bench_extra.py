@@ -321,15 +321,19 @@ def bench_nn1k():
     the LM refiner stalls ~1.3 px from the optimum (r4 basin probes:
     8 bins -> inert, 32 -> 0.18 px residual from 2.5 px starts); bins
     are a reference config knob (mi_n_bins), not a model change.
-    B=32: MI's binned feature space scales the NN fleet dataset with
-    n_bins (64 trackers x 1000 samples x 625 px x 32 bins = 5.1 GB
-    f32 — the r4 RESOURCE_EXHAUSTED)."""
+    r5: nn_dist_feat="raw" — the NN SEARCH stage measures L2 on raw
+    pixels (the ICLM/MI refiner keeps the AM), cutting the dataset
+    memory 32-fold (MI's binned features capped the fleet at B=32, the
+    r4 RESOURCE_EXHAUSTED) -> B=256: chip sweep 2.1k -> 16.5k fps at
+    BETTER chip GT (1.29 vs 1.65 px — both sit on the chip-MI Parzen
+    floor; CPU legs identical at 0.200 px, log/ab_nn_raw.log)."""
     return _row("nn1k_iclm_mi_hom8_frames_per_sec_per_chip",
                 ("nnic", "mi", "8"),
                 dict(resx=25, resy=25, nn_n_samples=1000, enable_lm=True,
                      max_iters=10, interp="linear_mm", crop=224,
-                     n_bins=32, coarse_pt_iters=((2, 5),)), B=32,
-                acc_sigma=0.005, baseline="native_nn1k")
+                     n_bins=32, coarse_pt_iters=((2, 5),),
+                     nn_dist_feat="raw"), B=256,
+                acc_sigma=0.005, baseline="native_nn1k", chip_acc=True)
 
 
 def bench_rklt():
