@@ -57,6 +57,7 @@ def _sm_params(cfg: dict) -> SMParams:
         use_pallas=(None if cfg.get("use_pallas") is None
                     else bool(cfg.get("use_pallas"))),
         interp_bf16=bool(cfg.get("interp_bf16", False)),
+        interp_precision=cfg.get("interp_precision") or None,
         coarse_pt_iters=tuple(
             _stride_pair(v) for v in cfg.get("coarse_pt_iters", ())),
         hess_type=str(cfg.get("hess_type", "selft")),

@@ -260,7 +260,8 @@ def sample_dense_parts(img: Array, pts: Array, kind: str = LINEAR,
 
 def sample_dense(img: Array, pts: Array, kind: str = LINEAR,
                  crop: int | None = None, cval: float = 0.0,
-                 compute_dtype=None, need_grad: bool = True, _stack=True):
+                 compute_dtype=None, need_grad: bool = True, _stack=True,
+                 precision=None):
     """Matmul-form sampling -> (patch (N, C), grad (N, C, 2) | None).
 
     `crop`: static window size; the window is dynamic-sliced around the
@@ -293,17 +294,22 @@ def sample_dense(img: Array, pts: Array, kind: str = LINEAR,
         Wy, dWy = Wy.astype(compute_dtype), dWy.astype(compute_dtype)
     # two MXU contractions + cheap reuse for the gradients
     tmp = jnp.einsum("nw,hwc->nhc", Wx, sub,
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=jnp.float32,
+                     precision=precision)
     val = jnp.einsum("nh,nhc->nc", Wy, tmp,
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=jnp.float32,
+                     precision=precision)
     if not need_grad:
         return val, None
     tmp_dx = jnp.einsum("nw,hwc->nhc", dWx, sub,
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=jnp.float32,
+                     precision=precision)
     dx = jnp.einsum("nh,nhc->nc", Wy, tmp_dx,
-                    preferred_element_type=jnp.float32)
+                    preferred_element_type=jnp.float32,
+                     precision=precision)
     dy = jnp.einsum("nh,nhc->nc", dWy, tmp,
-                    preferred_element_type=jnp.float32)
+                    preferred_element_type=jnp.float32,
+                     precision=precision)
     if not _stack:
         return val, (dx, dy)
     return val, jnp.stack([dx, dy], axis=-1)

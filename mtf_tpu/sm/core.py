@@ -66,6 +66,13 @@ class SMParams:
                                    # opts non-fusable configs into the
                                    # Pallas sampling kernel
     interp_bf16: bool = False      # bf16 MXU contractions for _mm sampling
+    interp_precision: str | None = None  # "highest": full-precision f32
+                                   # sampling contractions on the
+                                   # GENERIC dense path (the TPU default
+                                   # rounds f32 dot operands to bf16 —
+                                   # ~0.5-intensity value noise, which
+                                   # histogram AMs (MI/CCRE) amplify
+                                   # into a ~1 px on-chip floor)
     coarse_pt_iters: tuple = ()    # coarse-to-fine POINT decimation for
                                    # the fused LK path: ((stride, n), ...)
                                    # runs n GN iterations on the

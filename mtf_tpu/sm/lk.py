@@ -171,7 +171,9 @@ class LKBase(SearchMethod):
             # stacked form beats the hand-unstacked broadcast chain.
             patch, grad = interp.sample_dense(
                 frame, pts, prm.interp[:-3], crop=crop_arg,
-                compute_dtype=jnp.bfloat16 if prm.interp_bf16 else None)
+                compute_dtype=jnp.bfloat16 if prm.interp_bf16 else None,
+                precision=(jax.lax.Precision.HIGHEST
+                           if prm.interp_precision == "highest" else None))
         else:
             patch, grad = interp.sample_with_grad(frame, pts, prm.interp,
                                                   prm.border)
