@@ -77,7 +77,7 @@ def _grid_tiles(n_patches: int, n: int) -> int:
     return best
 
 
-def _kernel(kind, hc, wc, n, tp, t_tiles, n_iters, zncc, win_ref,
+def _kernel(kind, hc, wc, n, tp, t_tiles, n_iters, zncc, band, win_ref,
             pts_ref, templ_ref, scale_ref, disp_out, disp_ref):
     tn = tp * n
     # block indicator: patch p (within a tile) owns lanes [p*n, (p+1)*n).
@@ -93,8 +93,7 @@ def _kernel(kind, hc, wc, n, tp, t_tiles, n_iters, zncc, win_ref,
     scale = scale_ref[0, 0, 0]
     lo = 0.001 if kind == "linear" else 1.001
     hix = (wc - 1.001) if kind == "linear" else (wc - 2.001)
-    hiy = (hc - 1.001) if kind == "linear" else (hc - 2.001)
-    win = win_ref[0]                                        # (Hc, Wc) bf16
+    hiy = (band - 1.001) if kind == "linear" else (band - 2.001)
 
     disp_ref[:, :, :] = jnp.zeros((t_tiles, 2, tp), jnp.float32)
 
@@ -111,17 +110,33 @@ def _kernel(kind, hc, wc, n, tp, t_tiles, n_iters, zncc, win_ref,
                 d_t * scale, EX, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)         # (2, TN)
             x = jnp.clip(px + d_pt[0], lo, hix)
-            y = jnp.clip(py + d_pt[1], lo, hiy)
+            yr = py + d_pt[1]
+            if band < hc:
+                # y-banding (chain-kernel pattern): a tile is a
+                # consecutive patch-major slab — 2 grid rows of patches
+                # spanning a narrow y band of the window. The sampling
+                # dots contract a dynamically-sliced (band, Wc) row
+                # block instead of the full window (the dominant MXU
+                # cost at full resolution).
+                ymin = jnp.min(yr)
+                y0i = jnp.floor(ymin).astype(jnp.int32) - 2
+                y0i = jnp.bitwise_and(jnp.clip(y0i, 0, hc - band), ~15)
+                y0i = pl.multiple_of(y0i, 16)
+                win = win_ref[0, pl.ds(y0i, band), :]       # (band, Wc)
+                y = jnp.clip(yr - y0i.astype(jnp.float32), lo, hiy)
+            else:
+                win = win_ref[0]
+                y = jnp.clip(yr, lo, hiy)
 
             kx = jax.lax.broadcasted_iota(
                 jnp.int32, (wc, tn), 0).astype(jnp.float32)
             wxt, dpxt = _weights_dense(kx - x[None, :], kind)  # (Wc, TN)
             ky = jax.lax.broadcasted_iota(
-                jnp.int32, (hc, tn), 0).astype(jnp.float32)
-            wyt, dpyt = _weights_dense(ky - y[None, :], kind)  # (Hc, TN)
+                jnp.int32, (band, tn), 0).astype(jnp.float32)
+            wyt, dpyt = _weights_dense(ky - y[None, :], kind)  # (band, TN)
 
             tmp = jnp.dot(win, wxt.astype(jnp.bfloat16),
-                          preferred_element_type=jnp.float32)  # (Hc, TN)
+                          preferred_element_type=jnp.float32)  # (band, TN)
             tmp_dx = jnp.dot(win, dpxt.astype(jnp.bfloat16),
                              preferred_element_type=jnp.float32)
             val = jnp.sum(wyt * tmp, axis=0)                # (TN,)
@@ -187,6 +202,10 @@ def _batched(win, pts, templ, scale, kind, n, n_iters, zncc, interpret):
     p = pn // n
     tp = _grid_tiles(p, n)
     t_tiles = p // tp
+    # y-banding: only when tiling is active (a single full tile spans
+    # the whole window). Band 80 covers a 2-grid-row slab of the
+    # largest in-window target (~0.2*span + patch extent + margins)
+    band = 80 if (t_tiles > 1 and hc >= 128) else hc
     win_blk = pl.BlockSpec((1, hc, wc), lambda i: (i, 0, 0),
                            memory_space=pltpu.VMEM)
     pts_blk = pl.BlockSpec((1, 2, pn), lambda i: (i, 0, 0),
@@ -199,14 +218,14 @@ def _batched(win, pts, templ, scale, kind, n, n_iters, zncc, interpret):
                            memory_space=pltpu.VMEM)
     raw = pl.pallas_call(
         functools.partial(_kernel, kind, hc, wc, n, tp, t_tiles, n_iters,
-                          zncc),
+                          zncc, band),
         grid=(b,),
         in_specs=[win_blk, pts_blk, templ_blk, sc_blk],
         out_specs=out_blk,
         out_shape=jax.ShapeDtypeStruct((b, t_tiles, 2, tp), jnp.float32),
         scratch_shapes=[pltpu.VMEM((t_tiles, 2, tp), jnp.float32)],
         cost_estimate=pl.CostEstimate(
-            flops=2 * 2 * b * n_iters * pn * hc * wc, transcendentals=0,
+            flops=2 * 2 * b * n_iters * pn * band * wc, transcendentals=0,
             bytes_accessed=b * (hc * wc * 2 + pn * 4 * 3)),
         interpret=interpret,
     )(win, pts, templ[:, None], scale[:, None, None])
