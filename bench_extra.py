@@ -343,14 +343,16 @@ def bench_rklt():
     ESM-LM refiner WITH the coarse-to-fine point schedule (legal under
     LM since r5). Same-session chip lineage at B=256: r4 flat 2,790 ->
     (1,8)+s2 5,514 -> fused grid 8,130 -> +coarse refiner 12,533 fps
-    at 0.093 px chip GT; B=512 reads 12,928 (log/ab_rklt_b.log)."""
+    at 0.093 px chip GT; with the banded grid kernel B=384 reads
+    13,226 (log/ab_rklt_band.log; the B=512 reading in that sweep
+    glitched)."""
     return _row("rklt_ssd_hom8_frames_per_sec_per_chip",
                 ("rklt", "ssd", "8"),
                 dict(resx=50, resy=50, max_iters=10, epsilon=0.0,
                      interp="linear_mm", crop=160,
                      grid_sub_iters=(1, 8), grid_coarse_stride=2,
                      coarse_pt_iters=((4, 6), (2, 3))),
-                B=512, baseline="native_rklt", chip_acc=True)
+                B=384, baseline="native_rklt", chip_acc=True)
 
 
 
