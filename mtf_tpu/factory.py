@@ -120,7 +120,9 @@ def _pf_params(cfg: dict, n_particles: int | None = None) -> PFParams:
         am_sigma=tuple(cfg.get("pf_am_sigma", ())),
         score_stride=int(cfg.get("pf_score_stride", 1)),
         score_blur=bool(cfg.get("pf_score_blur", False)),
+        score_downsample=bool(cfg.get("pf_score_downsample", False)),
         rescore_top_k=int(cfg.get("pf_rescore_top_k", 0)),
+        rescore_crop=int(cfg.get("pf_rescore_crop", 0)),
         seed=int(cfg.get("seed", 0)),
     )
 

@@ -225,18 +225,19 @@ class LKBase(SearchMethod):
 
     @classmethod
     def _blur2(cls, img: Array, stride: int) -> Array:
-        """Separable edge-padded binomial blur (2D, any float dtype).
-        Static shift-adds, NOT convolve: the slices fuse into one
-        elementwise chain (a vmapped convolve lowers to a serial loop
-        and measured ~1.5x on the whole fleet update)."""
+        """Separable edge-padded binomial blur (2D or (H, W, C), any
+        float dtype). Static shift-adds, NOT convolve: the slices fuse
+        into one elementwise chain (a vmapped convolve lowers to a
+        serial loop and measured ~1.5x on the whole fleet update)."""
         if stride <= 1:
             return img
         k = np.asarray(cls._binomial(stride), np.float32)
         r = (k.shape[0] - 1) // 2
-        h, w = img.shape
-        f = jnp.pad(img.astype(jnp.float32), ((r, r), (r, r)), mode="edge")
+        h, w = img.shape[0], img.shape[1]
+        pad = ((r, r), (r, r)) + ((0, 0),) * (img.ndim - 2)
+        f = jnp.pad(img.astype(jnp.float32), pad, mode="edge")
         fh = sum(float(k[i]) * f[:, i:i + w] for i in range(len(k)))
-        fv = sum(float(k[j]) * fh[j:j + h, :] for j in range(len(k)))
+        fv = sum(float(k[j]) * fh[j:j + h] for j in range(len(k)))
         return fv.astype(img.dtype)
 
     # -- init ----------------------------------------------------------
@@ -262,13 +263,19 @@ class LKBase(SearchMethod):
             ry, rx = self.am.prm.resy, self.am.prm.resx
             n = state.region.base_pts.shape[0]
             c_ch = patch0.shape[1] if patch0.ndim == 2 else 1
-            if (c_ch == 1 and n == ry * rx
+            # r5: multi-channel (MC*) SSD packs ride the same machinery
+            # — the blurred decimated template stays (n_dec, C) and the
+            # Jacobian row subset expands point indices to the N*C
+            # interleaved rows (AM/src/MC*.cc channel semantics)
+            mc_pack = (frame.ndim == 3 and self.am.name == "ssd"
+                       and c_ch == frame.shape[2])
+            if ((c_ch == 1 and frame.ndim == 2 or mc_pack)
+                    and n == ry * rx
                     and self.am.ilm.n_params == 0
                     and not self.am.needs_update_model
                     and self.am.prm.learning_rate == 0.0
                     and not self.prm.spi_type
-                    and self.prm.hess_type != "std2"
-                    and frame.ndim == 2):
+                    and self.prm.hess_type != "std2"):
                 packs = []
                 for stride, _ in self.prm.coarse_pt_iters:
                     idx = self._coarse_idx(ry, rx, stride)
@@ -276,10 +283,15 @@ class LKBase(SearchMethod):
                     p_b, J_b = self._patch_and_jac(
                         state.region, self.ssm.identity(),
                         self.am.ilm.identity_params(), fr_b)
-                    Js = J_b[:, :S][idx]
+                    rows = (idx if c_ch == 1 else
+                            (idx[:, None] * c_ch
+                             + jnp.arange(c_ch)[None, :]).ravel())
+                    Js = J_b[:, :S][rows]
                     st_s = self.am.init(p_b[idx])
                     H0_s = self._hess_contract(st_s, p_b[idx], Js)
-                    packs.append((p_b.reshape(-1)[idx], H0_s, Js))
+                    templ_s = (p_b.reshape(-1)[idx] if c_ch == 1
+                               else p_b[idx])
+                    packs.append((templ_s, H0_s, Js))
                 coarse = tuple(packs)
         return LKCache(J0=J_full[:, :S], H0=H0, coarse=coarse)
 
@@ -429,7 +441,8 @@ class LKBase(SearchMethod):
             # the cached decimated self0 Hessian / template Jacobian
             idx, templ_s, h0s, j0s = phase
             region = region._replace(base_pts=region.base_pts[idx])
-            st0 = am.init(templ_s[:, None])._replace(p_am=carry.p_am)
+            tp = templ_s[:, None] if templ_s.ndim == 1 else templ_s
+            st0 = am.init(tp)._replace(p_am=carry.p_am)
             cache = cache._replace(J0=j0s, H0=h0s)
 
         patch, J = self._patch_and_jac(
@@ -571,7 +584,7 @@ class LKBase(SearchMethod):
         # build is the kernel's VPU bottleneck and 7 binomial taps
         # multiply exactly that (log/prof_r4c.log: 36k fps vs 56k).
         fast_bf16 = (self._fused_ok(state, frame) and not prm.enable_lm
-                     and not am.needs_update_model and frame.ndim == 2)
+                     and not am.needs_update_model)
         if (prm.interp.endswith("_mm") and prm.crop is not None
                 and prm.crop_blocks is None):
             h, w = frame.shape[0], frame.shape[1]
@@ -596,20 +609,25 @@ class LKBase(SearchMethod):
                 # un-pipelined DMA latency and rolls 4.4x the bytes
                 # (tpu.dynamic_rotate is 32-bit only)
                 starts = (y0.astype(jnp.int32), x0.astype(jnp.int32))
-                if frame.ndim == 3:
-                    frame_eff = jax.lax.dynamic_slice(
-                        frame, starts + (0,), (hc, wc, frame.shape[2]))
-                elif fast_bf16:
+                zero = jnp.zeros((), jnp.int32)
+                if fast_bf16:
+                    # stacked variant crop (2D or MC (H, W, C)): frame +
+                    # the per-phase blurs in ONE dynamic_slice per
+                    # tracker
                     strides = [st for (st, _), _ in phases if st > 1]
                     fb = frame.astype(jnp.bfloat16)
                     stk = jnp.stack([fb] + [self._blur2(fb, st)
                                             for st in strides])
+                    tail = (frame.shape[2],) if frame.ndim == 3 else ()
                     win = jax.lax.dynamic_slice(
-                        stk, (jnp.zeros((), jnp.int32),) + starts,
-                        (1 + len(strides), hc, wc))
+                        stk, (zero,) + starts + (zero,) * len(tail),
+                        (1 + len(strides), hc, wc) + tail)
                     frame_eff = win[0]
                     blur_win = {st: win[1 + i]
                                 for i, st in enumerate(strides)}
+                elif frame.ndim == 3:
+                    frame_eff = jax.lax.dynamic_slice(
+                        frame, starts + (0,), (hc, wc, frame.shape[2]))
                 else:
                     frame_eff = jax.lax.dynamic_slice(frame, starts,
                                                       (hc, wc))
@@ -690,8 +708,8 @@ class LKBase(SearchMethod):
         # decimated self0 Hessian / template Jacobian).
         carry = init
         if phases and fenv is None and (state.spi_mask is not None
-                                        or frame_eff.ndim != 2):
-            phases = ()       # generic phases need plain 2D + no mask
+                                        or frame_eff.ndim not in (2, 3)):
+            phases = ()       # generic phases need a plain frame + no mask
         if phases:
             ry, rx = am.prm.resy, am.prm.resx
             it_hi = 0
@@ -709,8 +727,7 @@ class LKBase(SearchMethod):
                 # measured 3.5x slower at fleet scale — see _update.
                 frame_s = blur_win.get(stride)
                 if frame_s is None:
-                    frame_s = (self._blur2(frame_eff, stride)
-                               if frame_eff.ndim == 2 else frame_eff)
+                    frame_s = self._blur2(frame_eff, stride)
                 if fenv is not None:
                     if am.name == "ncc":
                         # kernel NCC mode consumes the centered unit
@@ -718,6 +735,9 @@ class LKBase(SearchMethod):
                         from mtf_tpu.am.ncc import NCC as _NCC
                         templ_k = _NCC._center_norm(
                             templ_s[:, None]).reshape(-1)
+                    elif templ_s.ndim == 2:
+                        # MC pack: kernel consumes (C, n_dec)
+                        templ_k = templ_s.T
                     else:
                         templ_k = templ_s
                     j0s_T = j0s.T if self.use_esm_jac else None
@@ -738,8 +758,9 @@ class LKBase(SearchMethod):
                               fr=frame_s):
                         region_s = state.region._replace(
                             base_pts=state.region.base_pts[idx])
-                        st_s = am.init(templ_s[:, None])._replace(
-                            p_am=pam)
+                        tp = (templ_s[:, None] if templ_s.ndim == 1
+                              else templ_s)
+                        st_s = am.init(tp)._replace(p_am=pam)
                         fn = self._patch_fn(region_s, s, pam, fr, offset)
                         return am.f_corrected(
                             st_s, fn(jnp.zeros((q_dim,), jnp.float32)))

@@ -72,6 +72,35 @@ class PFParams:
                                       # measured no ranking benefit once
                                       # rescore_top_k is on; kept as an
                                       # option for raw-texture scenes.
+    score_downsample: bool = False    # with score_stride > 1 +
+                                      # score_blur: run the coarse
+                                      # ranking pass against the
+                                      # stride-DOWNSAMPLED blurred frame
+                                      # (a pyramid level). The dense-mm
+                                      # scoring contraction's cost is
+                                      # points x window AREA, and the
+                                      # particle-cloud window shrinks by
+                                      # stride^2 (256^2 -> ~72^2 at the
+                                      # bench config) — the coarse pass
+                                      # drops out of the device profile.
+                                      # Values are identical to blurred
+                                      # full-res sampling up to the
+                                      # linear re-interpolation of the
+                                      # decimated grid; the template
+                                      # side is built/learned from the
+                                      # SAME representation so the
+                                      # residual stays unbiased.
+    rescore_crop: int = 0             # >0 (with rescore_top_k): the
+                                      # full-resolution rescore anchors
+                                      # its own crop window of this size
+                                      # on the TOP-K point cloud (which
+                                      # clusters near the mode) instead
+                                      # of the full particle-cloud
+                                      # window; a rescored particle
+                                      # whose points leave the tight
+                                      # window keeps its coarse RANKING
+                                      # score rather than being declared
+                                      # impossible.
     rescore_top_k: int = 0            # >0 (with score_stride > 1):
                                       # hierarchical measurement — the
                                       # coarse decimated pass RANKS all
@@ -108,6 +137,11 @@ class PF(SearchMethod):
         super().__init__(am, ssm, prm)
         self.pf = pf or PFParams()
         s = self.pf.score_stride
+        if self.pf.score_downsample and (s <= 1 or not self.pf.score_blur):
+            raise ValueError(
+                "PFParams.score_downsample requires score_stride > 1 and "
+                "score_blur=True (the binomial blur is the anti-alias "
+                "filter of the downsampled scoring pyramid level)")
         if s > 1:
             # decimated measurement grid: particle likelihoods are scored
             # at every s-th template point (row-major (resy, resx) grid,
@@ -160,7 +194,7 @@ class PF(SearchMethod):
         return interp.sample(frame, pts, self.prm.interp, self.prm.border)
 
     def _particle_patches(self, region, states, frame, reduce_axis=None,
-                          base_pts=None):
+                          base_pts=None, pts_scale=None, crop=None):
         """(P, N, C) patches + (P,) in-window validity for the particle
         population.
 
@@ -182,18 +216,27 @@ class PF(SearchMethod):
 
         `base_pts`: template-frame points to sample per particle
         (defaults to the full region grid; the decimated scoring path
-        passes the stride subset)."""
+        passes the stride subset).
+
+        `pts_scale`: multiply the image-frame points (the downsampled
+        scoring pass maps full-res coords onto the stride-decimated
+        frame with scale 1/stride). `crop`: override `prm.crop` (the
+        downsampled pass shrinks the window by the stride; the top-K
+        rescore tightens it to the top-K cloud)."""
         if base_pts is None:
             base_pts = region.base_pts
         P = states.shape[0]
         pts_t = jax.vmap(
             lambda s: self.ssm.warp_pts(s, base_pts))(states)
         pts = W.apply_warp(region.norm_mat, pts_t.reshape(-1, 2))
+        if pts_scale is not None:
+            pts = pts * pts_scale
         prm = self.prm
         ok = jnp.ones((P,), bool)
         if prm.interp.endswith("_mm") and frame.ndim == 2:
             h, w = frame.shape
-            crop = prm.crop
+            if crop is None:
+                crop = prm.crop
             if crop is not None and (crop < h or crop < w):
                 hc, wc = min(crop, h), min(crop, w)
                 mnx, mxx = jnp.min(pts[:, 0]), jnp.max(pts[:, 0])
@@ -222,6 +265,22 @@ class PF(SearchMethod):
             val = interp.sample(frame, pts, prm.interp, prm.border)
         return val.reshape(P, -1, val.shape[-1]), ok
 
+    def _score_frame(self, frame):
+        """(frame_sc, pts_scale, crop) for the anti-aliased decimated
+        scoring pass: the binomial-blurred frame, optionally stride-
+        DOWNSAMPLED (score_downsample — a pyramid level: the scoring
+        window area, the dominant term of the dense-mm contraction,
+        shrinks by stride^2). Shared across init / measure / learn so
+        template and live patch ride the identical representation."""
+        from mtf_tpu.sm.lk import LKBase
+        s = self.pf.score_stride
+        fr_b = LKBase._blur2(frame, s)
+        if not self.pf.score_downsample:
+            return fr_b, None, None
+        crop = (max(32, self.prm.crop // s + 16)
+                if self.prm.crop is not None else None)
+        return fr_b[::s, ::s], 1.0 / s, crop
+
     def _log_lik(self, am_state, patch, p_am=None, am=None):
         am = am or self.am
         st = (am_state if p_am is None or p_am.shape[-1] == 0
@@ -249,14 +308,16 @@ class PF(SearchMethod):
         if self._score_idx is not None:
             if self.pf.score_blur and frame.ndim == 2:
                 # anti-aliased decimated template: sampled from the
-                # binomial-BLURRED init frame at the decimated points,
+                # binomial-BLURRED init frame (downsampled when
+                # score_downsample is on) at the decimated points,
                 # pixel-unit matched to the blurred scoring window
-                from mtf_tpu.sm.lk import LKBase
                 from mtf_tpu.ops import interp as _interp
-                fr_b = LKBase._blur2(frame, self.pf.score_stride)
+                fr_b, pscale, _ = self._score_frame(frame)
                 pts = W.apply_warp(
                     state.region.norm_mat,
                     state.region.base_pts[self._score_idx])
+                if pscale is not None:
+                    pts = pts * pscale
                 p_b = _interp.sample(fr_b, pts, self.prm.interp,
                                      self.prm.border)
                 score = self._score_am.init(p_b)
@@ -349,17 +410,19 @@ class PF(SearchMethod):
             sc_am, sc_st = self._score_am, ps.score_am
         else:
             bp, sc_am, sc_st = None, self.am, state.am_state
-        frame_sc = frame
+        frame_sc, pscale, crop_sc = frame, None, None
         if bp is not None and self.pf.score_blur and frame.ndim == 2:
-            # anti-aliased decimated scoring: binomial-blur the SHARED
-            # frame (loop-invariant under the fleet vmap, so XLA hoists
-            # it once) to match the blurred init score template
-            from mtf_tpu.sm.lk import LKBase
-            frame_sc = LKBase._blur2(frame, self.pf.score_stride)
+            # anti-aliased decimated scoring: binomial-blur (and with
+            # score_downsample stride-decimate) the SHARED frame —
+            # loop-invariant under the fleet vmap, so XLA hoists it
+            # once — to match the init-time score template
+            frame_sc, pscale, crop_sc = self._score_frame(frame)
         patches, valid = self._particle_patches(state.region, prop,
                                                 frame_sc,
                                                 reduce_axis=reduce_axis,
-                                                base_pts=bp)
+                                                base_pts=bp,
+                                                pts_scale=pscale,
+                                                crop=crop_sc)
         log_lik = jax.vmap(
             lambda p, pa: self._log_lik(sc_st, p, pa, am=sc_am))(
                 patches, am_prop)
@@ -375,11 +438,19 @@ class PF(SearchMethod):
             llc = self._apply_window_mask(log_lik, valid)
             _, topi = jax.lax.top_k(llc, min(K, P))
             prop_k = prop[topi]
+            rc = self.pf.rescore_crop or None
             patches_k, valid_k = self._particle_patches(
-                state.region, prop_k, frame)
+                state.region, prop_k, frame, crop=rc)
             ll_k = jax.vmap(
                 lambda p, pa: self._log_lik(state.am_state, p, pa))(
                     patches_k, am_prop[topi])
+            if rc is not None:
+                # tight rescore window (PFParams.rescore_crop), anchored
+                # on the top-K cloud: a top particle whose points leave
+                # it keeps its coarse ranking score (genuinely out-of-
+                # cloud-window particles already carry -1e30 in llc)
+                ll_k = jnp.where(valid_k, ll_k, llc[topi])
+                valid_k = jnp.ones_like(valid_k)
             log_lik = jnp.full((P,), -1e30, log_lik.dtype).at[topi].set(ll_k)
             valid = jnp.zeros((P,), bool).at[topi].set(valid_k)
         return prop, log_lik, valid
@@ -457,12 +528,14 @@ class PF(SearchMethod):
         if score_am_state is not None:
             if self.pf.score_blur and frame.ndim == 2:
                 # blurred score template learns from the blurred-frame
-                # mean patch (see _init_extra)
-                from mtf_tpu.sm.lk import LKBase
-                fr_b = LKBase._blur2(frame, self.pf.score_stride)
+                # (downsampled when score_downsample) mean patch at the
+                # decimated points (see _init_extra)
+                fr_b, pscale, crop_sc = self._score_frame(frame)
                 patches_b, _ = self._particle_patches(
-                    state.region, mean_state[None, :], fr_b)
-                sub = patches_b[0][self._score_idx]
+                    state.region, mean_state[None, :], fr_b,
+                    base_pts=state.region.base_pts[self._score_idx],
+                    pts_scale=pscale, crop=crop_sc)
+                sub = patches_b[0]
             else:
                 sub = patches[0][self._score_idx]
             ns = self._score_am.update_model(score_am_state, sub)
