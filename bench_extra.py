@@ -304,13 +304,25 @@ def bench_pf500():
     0.37 px and the 5-seed CPU synth IMPROVES to 0.167 px
     (log/pf_sig2.log); the FCLM refiner + feedback covers the coarse
     motion the tighter proposal no longer explores. B=128: width
-    scaling restored (~4k fps; r4 was width-flat at 1.3k)."""
+    scaling restored (~4k fps; r4 was width-flat at 1.3k).
+    r5 session 2: the coarse ranking pass scores against the stride-4
+    DOWNSAMPLED blurred frame (score_downsample — the dense-mm
+    contraction cost is points x window AREA, so the 256^2 cloud
+    window collapses to ~80^2) and the top-64 rescore anchors a tight
+    160 px window on the top-K cloud (rescore_crop): 3,972 -> 5,436
+    fps same-session at equal accuracy (log/ab_pf_r5b.log; rc192 read
+    slower twice — 160 is the sweep point). The ~0.33 px chip GT is
+    protocol tail, not chip numerics: the CPU replica of the same
+    multi-object leg reads 0.308 (a few small smooth cells at 1-3 px
+    dominate the mean; 5-seed single-target CPU stays 0.152)."""
     return _row("pf500_fclm_ssim_hom8_frames_per_sec_per_chip",
                 ("pffc", "ssim", "8"),
                 dict(resx=25, resy=25, pf_n_particles=500, enable_lm=True,
                      max_iters=10, interp="linear_mm", crop=256,
                      pf_score_stride=4, pf_score_blur=True,
-                     pf_rescore_top_k=64, pf_pix_sigma=2.0), B=128,
+                     pf_rescore_top_k=64, pf_pix_sigma=2.0,
+                     pf_score_downsample=True, pf_rescore_crop=160),
+                B=128,
                 acc_sigma=0.005, baseline="native_pf500", chip_acc=True)
 
 
@@ -377,9 +389,13 @@ def bench_mcssd():
     kernel (channel-stacked window, ONE shared tap-weight build + C
     sampling dots — AM/src/MC*.cc semantics). The row also measures the
     GRAYSCALE TWIN (same config, channel 0 only) in-process so the
-    within-2x claim is a same-session A/B. No coarse_pt_iters (the
-    coarse packs are single-channel; MC runs the flat schedule, and so
-    does its twin)."""
+    within-2x claim is a same-session A/B. r5 session 2: the coarse
+    packs are multi-channel now (blurred (n, C) templates, channel-
+    expanded Jacobian rows, one stacked MC variant crop) — both MC and
+    its twin run the headline coarse schedule: 10,923 -> 28,131 fps
+    same-session at B=512, 0.60x of the coarse gray twin (46,782;
+    log/ab_mc_r5b.log). B=1024 hit a remote-compile failure on axon —
+    B=512 is the shipped width."""
     import jax
     import jax.numpy as jnp
     import time as _t
@@ -389,7 +405,8 @@ def bench_mcssd():
 
     B = 512
     kw = dict(resx=50, resy=50, max_iters=10, epsilon=0.0,
-              interp="linear_mm", crop=144)
+              interp="linear_mm", crop=144,
+              coarse_pt_iters=((4, 6), (2, 3)))
     frame3 = _scene3(0)
     frame1 = frame3[:, :, 0]
 

@@ -123,10 +123,22 @@ def _kernel(kind, hc, wc, n, tp, t_tiles, n_iters, zncc, band, win_ref,
                 y0i = jnp.bitwise_and(jnp.clip(y0i, 0, hc - band), ~15)
                 y0i = pl.multiple_of(y0i, 16)
                 win = win_ref[0, pl.ds(y0i, band), :]       # (band, Wc)
-                y = jnp.clip(yr - y0i.astype(jnp.float32), lo, hiy)
+                y0f = y0i.astype(jnp.float32)
+                y = jnp.clip(yr - y0f, lo, hiy)
+                # in-band mask (r5 session 2, caught by the compiled CI
+                # lane): a warp that stretches the slab past the band —
+                # or any non-slab point layout — would otherwise sample
+                # band-edge garbage, collapse the ZNCC variance and
+                # blow up the damped solve. Out-of-band points are
+                # excluded from the stats and the solve; a patch with
+                # NO in-band points gets zero J and r -> its
+                # displacement simply stays put this iteration.
+                m = ((yr - y0f >= lo) & (yr - y0f <= hiy)).astype(
+                    jnp.float32)
             else:
                 win = win_ref[0]
                 y = jnp.clip(yr, lo, hiy)
+                m = None
 
             kx = jax.lax.broadcasted_iota(
                 jnp.int32, (wc, tn), 0).astype(jnp.float32)
@@ -157,17 +169,26 @@ def _kernel(kind, hc, wc, n, tp, t_tiles, n_iters, zncc, band, win_ref,
                 # 0.25 to a var of 5-25 — a ~2% sd error, not the 1e4
                 # blow-up of the one-pass cancellation; HIGHEST on these
                 # M=1 dots measured ~5k fleet fps, log/ab_gridonly)
+                vm = val if m is None else val * m
                 s1 = jax.lax.dot_general(
-                    val[None, :], ET, (((1,), (0,)), ((), ())),
+                    vm[None, :], ET, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)     # (1, tp)
+                if m is None:
+                    cnt = jnp.float32(n)
+                else:
+                    cnt = jnp.maximum(jax.lax.dot_general(
+                        m[None, :], ET, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)[0], 1.0)  # (tp,)
                 mu_e = jax.lax.dot_general(
-                    s1 / n, EX, (((1,), (0,)), ((), ())),
+                    (s1[0] / cnt)[None, :], EX, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)[0]  # (TN,)
                 c = val - mu_e
+                if m is not None:
+                    c = c * m
                 s2 = jax.lax.dot_general(
                     (c * c)[None, :], ET, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)     # (1, tp)
-                inv = 1.0 / (jnp.sqrt(s2[0] / n) + 1e-6)
+                inv = 1.0 / (jnp.sqrt(s2[0] / cnt) + 1e-6)
                 inv_e = jax.lax.dot_general(
                     inv[None, :], EX, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)[0]
@@ -176,6 +197,9 @@ def _kernel(kind, hc, wc, n, tp, t_tiles, n_iters, zncc, band, win_ref,
             r = val - templ_ref[0, 0, sl]
             jx = dx * scale                                 # template units
             jy = dy * scale
+            if m is not None:
+                jx = jx * m                 # out-of-band points carry no
+                jy = jy * m                 # gradient into the solve
             red = jax.lax.dot_general(
                 jnp.stack([jx * jx, jx * jy, jy * jy, jx * r, jy * r]),
                 ET, (((1,), (0,)), ((), ())),

@@ -199,21 +199,23 @@ def lk_fused_gn_t(img: Array, ptsT: Array, jacT: Array, templ: Array,
 
 def _chain_kernel(kind, hc, wc, n_s, rpad, tn, n_valid, band, blur, grp,
                   am, esm, ch, *refs):
-    if esm:
-        (sub_ref, a_ref, ph_ref, templ_ref, j0_ref,
-         val_ref, g_ref, h_ref) = refs
-    else:
-        sub_ref, a_ref, ph_ref, templ_ref, val_ref, g_ref, h_ref = refs
-        j0_ref = None
+    refs = list(refs)
+    sub_ref, a_ref, ph_ref, templ_ref = refs[:4]
+    j0_ref = refs[4] if esm else None
+    outs = refs[4 + int(esm):]
+    val_ref, g_ref, h_ref = outs[:3]
+    mom_ref, scal_ref = (outs[3], outs[4]) if am == "ncc" else (None, None)
     for _g in range(grp):
         _chain_kernel_one(kind, hc, wc, n_s, rpad, tn, n_valid, band,
                           blur, am, ch, _g, sub_ref, a_ref, ph_ref,
-                          templ_ref, j0_ref, val_ref, g_ref, h_ref)
+                          templ_ref, j0_ref, val_ref, g_ref, h_ref,
+                          mom_ref, scal_ref)
 
 
 def _chain_kernel_one(kind, hc, wc, n_s, rpad, tn, n_valid, band, blur,
                       am, ch, g_i, sub_ref, a_ref, ph_ref, templ_ref,
-                      j0_ref, val_ref, g_ref, h_ref):
+                      j0_ref, val_ref, g_ref, h_ref, mom_ref=None,
+                      scal_ref=None):
     """Whole LK iteration from the 3x3 warp algebra up: point projection,
     quotient-rule warp Jacobian, tap weights, MXU sampling contractions,
     SSD residual, g = J^T r and J^T J — no per-point tensor ever leaves
@@ -280,6 +282,13 @@ def _chain_kernel_one(kind, hc, wc, n_s, rpad, tn, n_valid, band, blur,
             return sub_ref[g_i, c * hc:(c + 1) * hc, :]
         y0f = jnp.float32(0.0)
     hiy = ((band - 1.001) if kind == "linear" else (band - 2.001)) - br
+    if band < hc:
+        # in-band mask (r5 session 2): a warp that stretches the
+        # row-major point slab past the y band would sample band-edge
+        # garbage — exclude such points from every reduction (they keep
+        # the full-window edge-clamp semantics only when band == hc)
+        live = jnp.logical_and(
+            live, jnp.logical_and(yr - y0f >= lo, yr - y0f <= hiy))
     x = jnp.clip(xr, lo, hix)
     y = jnp.clip(yr - y0f, lo + 0.0, hiy)
     kx = jax.lax.broadcasted_iota(jnp.int32, (wc, tn), 0).astype(jnp.float32)
@@ -322,38 +331,41 @@ def _chain_kernel_one(kind, hc, wc, n_s, rpad, tn, n_valid, band, blur,
         h_acc = h_c if h_acc is None else h_acc + h_c
 
     if am == "ncc":
-        # NCC gradient w.r.t. the raw patch, matching AD through
-        # am/ncc.py _center_norm (single tile: the stats span all live
-        # lanes): c = I - mean, f ∝ n0·c, eps mirrors _center_norm's
-        nv = jnp.float32(n_valid)
+        # NCC in MOMENT form (r5 session 2): every statistic the NCC
+        # gradient and selft Hessian need is LINEAR in per-tile sums of
+        # (val, Jm) products, so each tile emits raw moments and the
+        # XLA side (lk_fused_chain) does the one nonlinear combine —
+        # which makes NCC bandable/tileable exactly like SSD (the old
+        # single-tile form pinned the sampling dots at M = hc = 144,
+        # wasting 44% of every MXU row tile vs the 128-row band).
+        # Per tile (lanes masked):
+        #   s1 = Σ v,  s2 = Σ v²,  s3 = Σ n0 v   (f32 VPU sums — the
+        #   one-pass-variance cancellation that broke the grid kernel
+        #   came from bf16 MXU stat DOTS, not f32 VPU reductions;
+        #   f32 leaves mu²·1e-7 ≪ var)
+        #   a = Σ Jm n0,  bv = Σ Jm v,  mrow = Σ Jm,  R = Σ Jm Jmᵀ
         lv = live.astype(jnp.float32)
-        s1 = jnp.sum(val * lv)
-        mu = s1 / nv
-        c = (val - mu) * lv
-        nrm = jnp.sqrt(jnp.sum(c * c))
+        vm = val * lv
         n0 = templ_ref[g_i, 0, :]                           # unit template
-        dotc = jnp.sum(n0 * c)
-        eps = 1e-8
-        gI = n0 / (nrm + eps) - dotc * c / (nrm * (nrm + eps) ** 2)
-        g = jnp.sum(Jm * gI[None, :], axis=1, keepdims=True)
-        g_ref[g_i, 0, 0, :] = g[:, 0]
-        # closed-form NCC GN Hessian at the SELF state (hess selft;
-        # reference cmptSelfHessian, NCC.cc:124-410): with the centering
-        # projection folded into row-centered J̃ and ĉ = c/r,
-        #   J̃ᵀ (d²f/dI²)|self J̃ = (uuᵀ - J̃ᵀJ̃)/r²,  u = J̃ᵀĉ.
-        # Emitted NEGATED (h_ref holds -H) so the XLA side's selft/std
-        # branch H = -h matches the SSD convention.
-        chat = c / (nrm + eps)
-        m = jnp.sum(Jm * lv[None, :], axis=1, keepdims=True) / nv
-        Jc = (Jm - m) * lv[None, :]                         # (S, TN)
-        u = jnp.sum(Jc * chat[None, :], axis=1, keepdims=True)  # (S, 1)
-        jtjc = jax.lax.dot_general(
-            Jc, Jc, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        uut = jax.lax.dot_general(
-            u, u, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        h_ref[g_i, 0, :, :] = (jtjc - uut) / (nrm * nrm)
+        li = jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1)[0, :]
+        scal = (jnp.where(li == 0, jnp.sum(vm), 0.0)
+                + jnp.where(li == 1, jnp.sum(vm * val), 0.0)
+                + jnp.where(li == 2, jnp.sum(n0 * vm), 0.0)
+                # dynamic live count + masked Σn0 (the in-band mask can
+                # drop points beyond the static pad count)
+                + jnp.where(li == 3, jnp.sum(lv), 0.0)
+                + jnp.where(li == 4, jnp.sum(n0 * lv), 0.0))
+        scal_ref[g_i, 0, 0, :] = scal.astype(jnp.float32)
+        g_ref[g_i, 0, 0, :] = jnp.sum(Jm * n0[None, :], axis=1)
+        mom_ref[g_i, 0, 0, :] = jnp.sum(Jm * vm[None, :], axis=1)
+        mom_ref[g_i, 0, 1, :] = jnp.sum(Jm, axis=1)
+        # R at HIGHEST: the XLA combine subtracts nv·m mᵀ and u uᵀ from
+        # R — a genuine cancellation (unlike SSD's direct J^T J) that
+        # bf16 operand rounding would feed straight into the Hessian
+        h_ref[g_i, 0, :, :] = jax.lax.dot_general(
+            Jm, Jm, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
         return
     # SSD: channel-summed g and J^T J (the per-channel dots ran in the
     # sampling loop above). H at DEFAULT (bf16-operand) precision: unlike
@@ -373,12 +385,9 @@ def _chain_core_for(kind: str, n_s: int, n_valid: int,
         hc = hcc // ch
         n_pad = ph.shape[2]
         rpad = (A.shape[1] - 8) // 3
-        if am == "ncc":
-            # the NCC stats (mean/norm/correlation) span all live lanes:
-            # force ONE full-array tile (callers gate N <= _FULL_MAX)
-            tn, band = _tile_of(n_pad), hc
-        else:
-            tn, band = _chain_tile_of(n_pad, hc)
+        # NCC tiles/bands like SSD since the moment-form rewrite (the
+        # nonlinear stats combine happens in XLA over per-tile moments)
+        tn, band = _chain_tile_of(n_pad, hc)
         if ch > 1 and band < hc and hc % 16:
             # banded MC needs every channel's dynamic row start
             # (c*hc + y0) 16-aligned
@@ -413,28 +422,43 @@ def _chain_core_for(kind: str, n_s: int, n_valid: int,
                                  memory_space=pltpu.VMEM)
             in_specs.append(j0blk)
             operands.append(j0)
-        val, g, h = pl.pallas_call(
+        out_specs = [vec, gblk, hblk]
+        out_shape = [jax.ShapeDtypeStruct((b, ch, n_pad), jnp.float32),
+                     jax.ShapeDtypeStruct((b, t, 1, n_s), jnp.float32),
+                     jax.ShapeDtypeStruct((b, t, n_s, n_s), jnp.float32)]
+        if am == "ncc":
+            # per-tile raw moments: [Σ Jm v; Σ Jm] rows + the scalar
+            # stats (s1, s2, s3) on the first 3 lanes of an (8,) vector
+            out_specs.append(pl.BlockSpec((grp, 1, 2, n_s),
+                                          lambda i, j: (i, j, 0, 0),
+                                          memory_space=pltpu.VMEM))
+            out_shape.append(
+                jax.ShapeDtypeStruct((b, t, 2, n_s), jnp.float32))
+            out_specs.append(pl.BlockSpec((grp, 1, 1, 8),
+                                          lambda i, j: (i, j, 0, 0),
+                                          memory_space=pltpu.VMEM))
+            out_shape.append(jax.ShapeDtypeStruct((b, t, 1, 8),
+                                                  jnp.float32))
+        outs = pl.pallas_call(
             functools.partial(_chain_kernel, kind, hc, wc, n_s, rpad, tn,
                               n_valid, band, blur, grp, am, esm, ch),
             grid=(gb, t),
             in_specs=in_specs,
-            out_specs=(vec, gblk, hblk),
-            out_shape=(jax.ShapeDtypeStruct((b, ch, n_pad), jnp.float32),
-                       jax.ShapeDtypeStruct((b, t, 1, n_s), jnp.float32),
-                       jax.ShapeDtypeStruct((b, t, n_s, n_s), jnp.float32)),
+            out_specs=tuple(out_specs),
+            out_shape=tuple(out_shape),
             cost_estimate=pl.CostEstimate(
                 flops=2 * 2 * ch * b * n_pad * band * wc, transcendentals=0,
                 bytes_accessed=b * (ch * hc * wc * 2 + n_pad * 4 * 5)),
             interpret=interpret,
         )(*operands)
-        return val, g[:, :, 0], h
+        return (outs[0], outs[1][:, :, 0]) + tuple(outs[2:])
 
     if esm:
         @jax.custom_batching.custom_vmap
         def core(sub, A, ph, templ, j0):
-            val, g, h = batched(sub[None], A[None], ph[None], templ[None],
-                                j0[None])
-            return val[0], g[0], h[0]
+            out = batched(sub[None], A[None], ph[None], templ[None],
+                          j0[None])
+            return jax.tree.map(lambda z: z[0], out)
 
         @core.def_vmap
         def _core_vmap(axis_size, in_batched, sub, A, ph, templ, j0):  # noqa: F811,E501
@@ -444,14 +468,14 @@ def _chain_core_for(kind: str, n_s: int, n_valid: int,
                           bcast(ph, in_batched[2]),
                           bcast(templ, in_batched[3]),
                           bcast(j0, in_batched[4]))
-            return out, (True, True, True)
+            return out, jax.tree.map(lambda _: True, out)
 
         return core
 
     @jax.custom_batching.custom_vmap
     def core(sub, A, ph, templ):
-        val, g, h = batched(sub[None], A[None], ph[None], templ[None])
-        return val[0], g[0], h[0]
+        out = batched(sub[None], A[None], ph[None], templ[None])
+        return jax.tree.map(lambda z: z[0], out)
 
     @core.def_vmap
     def _core_vmap(axis_size, in_batched, sub, A, ph, templ):  # noqa: F811
@@ -459,7 +483,7 @@ def _chain_core_for(kind: str, n_s: int, n_valid: int,
             z[None], (axis_size,) + z.shape)
         out = batched(bcast(sub, in_batched[0]), bcast(A, in_batched[1]),
                       bcast(ph, in_batched[2]), bcast(templ, in_batched[3]))
-        return out, (True, True, True)
+        return out, jax.tree.map(lambda _: True, out)
 
     return core
 
@@ -479,9 +503,10 @@ def lk_fused_chain(img: Array, M0: Array, gens: Array, ph: Array,
     per-iteration HBM traffic is O(window + N) instead of O(N * 2S).
 
     `am`: "ssd" (g = J^T(templ - val)) or "ncc" (templ is the CENTERED
-    UNIT-NORM template n0; the exact NCC patch gradient is built
-    in-kernel and g = J^T dNCC/dI — single point tile only, callers
-    gate N <= 4096). `j0`: optional (S, N) constant template-side
+    UNIT-NORM template n0; the exact NCC patch gradient and selft
+    Hessian are assembled from per-tile raw moments — banded/tiled
+    exactly like SSD since the r5 moment-form rewrite, any N).
+    `j0`: optional (S, N) constant template-side
     Jacobian — when given, J := (J + J0)/2 (the ESM mean Jacobian,
     NT/ESM.cc:228-230) before the reductions, and the returned JtJ is
     the ESM-Jacobian normal matrix.
@@ -513,10 +538,7 @@ def lk_fused_chain(img: Array, M0: Array, gens: Array, ph: Array,
     # 0.5 px at 144) and A seeds every coordinate in the kernel
     A = jnp.matmul(M0.reshape(9), jnp.asarray(C.reshape(9, rows * 3)),
                    precision=jax.lax.Precision.HIGHEST).reshape(rows, 3)
-    if am == "ncc":
-        tile = _tile_of(n)
-    else:
-        tile, _ = _chain_tile_of(n, img.shape[0])
+    tile, _ = _chain_tile_of(n, img.shape[0])
     if n % tile != 0:
         pad = ((n + tile - 1) // tile) * tile - n
         # pad with (0, 0, 1) points: finite projection, masked residual
@@ -529,13 +551,39 @@ def lk_fused_chain(img: Array, M0: Array, gens: Array, ph: Array,
     core = _chain_core_for(kind, n_s, n, interpret, blur, am,
                            j0 is not None, channels)
     if j0 is not None:
-        val, g, h = core(img.astype(jnp.bfloat16), A, ph, templ, j0)
+        outs = core(img.astype(jnp.bfloat16), A, ph, templ, j0)
     else:
-        val, g, h = core(img.astype(jnp.bfloat16), A, ph, templ)
-    val = val[:, :n]
+        outs = core(img.astype(jnp.bfloat16), A, ph, templ)
+    val = outs[0][:, :n]
     if channels == 1:
         val = val[0]
-    return val, jnp.sum(g, axis=0), jnp.sum(h, axis=0)
+    if am != "ncc":
+        return val, jnp.sum(outs[1], axis=0), jnp.sum(outs[2], axis=0)
+    # NCC moment combine (see _chain_kernel_one): the per-tile sums are
+    # linear, so summing tiles THEN applying the nonlinear stats equals
+    # the single-tile closed form exactly. `templ` here is the centered
+    # unit template n0; eps conventions mirror am/ncc.py _center_norm.
+    a = jnp.sum(outs[1], axis=0)                     # Σ Jm n0   (S,)
+    R = jnp.sum(outs[2], axis=0)                     # Σ Jm Jmᵀ  (S, S)
+    mom = jnp.sum(outs[3], axis=0)                   # (2, S)
+    s = jnp.sum(outs[4], axis=0)[0]                  # (8,)
+    bv, mrow = mom[0], mom[1]
+    s1, s2, s3 = s[0], s[1], s[2]
+    nv = jnp.maximum(s[3], 1.0)         # live count (in-band mask aware)
+    mu = s1 / nv
+    var = jnp.maximum(s2 - s1 * s1 / nv, 1e-12)
+    nrm = jnp.sqrt(var)
+    eps = 1e-8
+    sum_n0 = s[4]                       # Σ n0 over live lanes (~0)
+    dotc = s3 - mu * sum_n0
+    jc = bv - mu * mrow                 # Σ Jm c
+    g_out = a / (nrm + eps) - dotc * jc / (nrm * (nrm + eps) ** 2)
+    # selft Hessian (NEGATED, matching the SSD h convention):
+    # (ΣJcJcᵀ - uuᵀ)/r² with ΣJcJcᵀ = R - nv m mᵀ, u = (ΣJm c)/(r+eps)
+    m = mrow / nv
+    u = jc / (nrm + eps)
+    h_out = (R - nv * jnp.outer(m, m) - jnp.outer(u, u)) / var
+    return val, g_out, h_out
 
 
 # NOTE r4: the non-transposed `lk_fused_gn` wrapper and the

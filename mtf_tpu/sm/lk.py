@@ -306,13 +306,12 @@ class LKBase(SearchMethod):
         prm, am = self.prm, self.am
         use_p = (prm.use_pallas or (prm.use_pallas is None
                                     and _tpu_compute()))
-        # NCC: stats span all lanes -> single point tile only; self0
-        # uses the cached H0, selft the in-kernel closed form; std
+        # NCC: moment-form kernel (banded/tiled like SSD, any N); self0
+        # uses the cached H0, selft the per-tile-moment closed form; std
         # (template-state Hessian) stays on the generic hvp path
         fuse_am = (am.name == "ssd"
                    or (am.name == "ncc"
-                       and prm.hess_type in ("self0", "selft")
-                       and am.prm.resx * am.prm.resy <= 4096))
+                       and prm.hess_type in ("self0", "selft")))
         fuse_jac = (not self.use_esm_jac or prm.jac_type == "original")
         # multi-channel (MC*) frames ride the same kernel with a
         # channel-stacked window and channel-summed g/JtJ (SSD only;

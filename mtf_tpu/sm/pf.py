@@ -444,13 +444,14 @@ class PF(SearchMethod):
             ll_k = jax.vmap(
                 lambda p, pa: self._log_lik(state.am_state, p, pa))(
                     patches_k, am_prop[topi])
-            if rc is not None:
-                # tight rescore window (PFParams.rescore_crop), anchored
-                # on the top-K cloud: a top particle whose points leave
-                # it keeps its coarse ranking score (genuinely out-of-
-                # cloud-window particles already carry -1e30 in llc)
-                ll_k = jnp.where(valid_k, ll_k, llc[topi])
-                valid_k = jnp.ones_like(valid_k)
+            # NOTE (r5 session 2): a particle whose points leave the
+            # tight rescore window is dropped (-inf via valid_k), same
+            # as the full-window semantics. Falling back to its coarse
+            # ranking score instead was tried and REJECTED: coarse
+            # (decimated, blurred) SSIM likelihoods sit systematically
+            # ABOVE full-resolution ones, so fallback particles
+            # outranked every honestly-rescored one and dragged the
+            # mean (0.17 -> 3.8 px on the regression config).
             log_lik = jnp.full((P,), -1e30, log_lik.dtype).at[topi].set(ll_k)
             valid = jnp.zeros((P,), bool).at[topi].set(valid_k)
         return prop, log_lik, valid

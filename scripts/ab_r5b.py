@@ -66,6 +66,23 @@ if which == "pf":
         dict(BASE, pf_score_downsample=True, pf_rescore_crop=192), 128)
     run("pf-ds-rc160-B256", ("pffc", "ssim", "8"),
         dict(BASE, pf_score_downsample=True, pf_rescore_crop=160), 256)
+elif which == "pf2":
+    # accuracy push on the winning pf-ds-rc160 point: HIGHEST-precision
+    # sampling in the FCLM/SSIM refiner (the nn1k-style chip-floor
+    # hypothesis: bf16 sampling noise through the similarity), wider
+    # rescore, rc192 re-read (one 3.9k outlier in the first sweep)
+    BASE = dict(resx=25, resy=25, pf_n_particles=500, enable_lm=True,
+                max_iters=10, interp="linear_mm", crop=256,
+                pf_score_stride=4, pf_score_blur=True,
+                pf_rescore_top_k=64, pf_pix_sigma=2.0,
+                pf_score_downsample=True, pf_rescore_crop=160)
+    run("pf-ds-rc160-hi", ("pffc", "ssim", "8"),
+        dict(BASE, interp_precision="highest"), 128)
+    run("pf-ds-rc160-top96", ("pffc", "ssim", "8"),
+        dict(BASE, pf_rescore_top_k=96), 128)
+    run("pf-ds-rc192-rerun", ("pffc", "ssim", "8"),
+        dict(BASE, pf_rescore_crop=192), 128)
+    run("pf-ds-rc160-rerun", ("pffc", "ssim", "8"), BASE, 128)
 elif which == "mc":
     kw = dict(resx=50, resy=50, max_iters=10, epsilon=0.0,
               interp="linear_mm", crop=144)
@@ -75,6 +92,42 @@ elif which == "mc":
     run("mcssd-coarse-B1024", ("fclk", "mcssd", "8"), co, 1024,
         frame3=True)
     run("gray-coarse", ("fclk", "ssd", "8"), co, 512)
+elif which == "pf3":
+    # tail-cell push: the fleet-GT mean is dominated by a few hard
+    # cells (CPU replica reads the SAME 0.31 as chip — protocol, not
+    # numerics); give the FCLM/SSIM refiner a pyramid basin
+    BASE = dict(resx=25, resy=25, pf_n_particles=500, enable_lm=True,
+                max_iters=10, interp="linear_mm", crop=256,
+                pf_score_stride=4, pf_score_blur=True,
+                pf_rescore_top_k=64, pf_pix_sigma=2.0,
+                pf_score_downsample=True, pf_rescore_crop=160)
+    run("pf-ds-rc160-c25", ("pffc", "ssim", "8"),
+        dict(BASE, coarse_pt_iters=((2, 5),)), 128)
+    run("pf-ds-rc160-c43", ("pffc", "ssim", "8"),
+        dict(BASE, coarse_pt_iters=((4, 3), (2, 3))), 128)
+elif which == "pf4":
+    # clean confirmation of the refiner-coarse PF points under the
+    # final -inf rescore-window semantics
+    BASE = dict(resx=25, resy=25, pf_n_particles=500, enable_lm=True,
+                max_iters=10, interp="linear_mm", crop=256,
+                pf_score_stride=4, pf_score_blur=True,
+                pf_rescore_top_k=64, pf_pix_sigma=2.0,
+                pf_score_downsample=True, pf_rescore_crop=160)
+    run("pf4-c25", ("pffc", "ssim", "8"),
+        dict(BASE, coarse_pt_iters=((2, 5),)), 128)
+    run("pf4-c43", ("pffc", "ssim", "8"),
+        dict(BASE, coarse_pt_iters=((4, 3), (2, 3))), 128)
+    run("pf4-c25-norc", ("pffc", "ssim", "8"),
+        dict(BASE, coarse_pt_iters=((2, 5),), pf_rescore_crop=0), 128)
+elif which == "esm":
+    # banded moment-form NCC kernel vs the pre-band single-tile config
+    kw = dict(resx=50, resy=50, max_iters=10, epsilon=0.0,
+              interp="linear_mm", crop=144,
+              coarse_pt_iters=((4, 6), (2, 3)))
+    run("esm-ncc-B1024", ("esm", "ncc", "8"), kw, 1024)
+    run("esm-ncc-B512", ("esm", "ncc", "8"), kw, 512)
+    run("esm-ncc-flat-B1024", ("esm", "ncc", "8"),
+        {k: v for k, v in kw.items() if k != "coarse_pt_iters"}, 1024)
 elif which == "nn":
     NK = dict(resx=25, resy=25, nn_n_samples=1000, enable_lm=True,
               max_iters=10, interp="linear_mm", crop=224,

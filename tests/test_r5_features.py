@@ -60,6 +60,38 @@ def test_chain_kernel_mc_parity(rng):
     assert np.abs(c0 - c1).max() < 0.05
 
 
+def test_chain_kernel_mc_coarse_parity(rng):
+    """r5 session 2: MC coarse packs (blurred (n, C) templates +
+    channel-expanded Jacobian rows) — kernel and generic paths agree
+    under the coarse schedule."""
+    frame = _scene2(rng, ch=3)
+    f2 = jnp.roll(frame, (3, 2), (0, 1))
+    kw = {"coarse_pt_iters": ((4, 4), (2, 3))}
+    c0 = _one_update_corners("fclk", "mcssd", False, frame, f2, **kw)
+    c1 = _one_update_corners("fclk", "mcssd", True, frame, f2, **kw)
+    assert np.abs(c0 - c1).max() < 0.05
+
+
+def test_chain_kernel_ncc_large_n(rng):
+    """Moment-form NCC tiles past the old 4096-point single-tile gate
+    (resx 70 -> 4900 points) and still matches the XLA path."""
+    frame = _scene2(rng)
+    f2 = jnp.roll(frame, (2, 1), (0, 1))
+    corners = jnp.asarray([[110, 80], [210, 80], [210, 160], [110, 160]],
+                          jnp.float32)
+    cs = {}
+    for up in (False, True):
+        trk = create_tracker("esm", "ncc", "8", resx=70, resy=70,
+                             max_iters=5, epsilon=0.0, interp="linear_mm",
+                             crop=144, use_pallas=up)
+        st = trk.initialize(frame, corners)
+        if up:
+            assert trk._fused_ok(st, frame)
+        st = jax.jit(trk.update)(st, f2)
+        cs[up] = np.asarray(trk.corners(st))
+    assert np.abs(cs[False] - cs[True]).max() < 0.05
+
+
 def test_grid_flow_fused_parity(rng):
     """The fused grid-flow kernel (whole joint-iteration loop in-kernel)
     matches the XLA per-iteration path through a full GridTracker
@@ -130,6 +162,23 @@ def test_pf_rescore_top_k(rng):
 
     hier = acc(pf_score_stride=4, pf_score_blur=True, pf_rescore_top_k=32)
     assert hier < 1.0, hier
+    # r5 session 2: downsampled coarse window + tight rescore window —
+    # accuracy within the same budget (the 5-seed eval read identical
+    # means, log/ab_pf_r5b.log; this is the fast regression gate)
+    ds = acc(pf_score_stride=4, pf_score_blur=True, pf_rescore_top_k=32,
+             pf_score_downsample=True, pf_rescore_crop=160)
+    assert ds < 1.0, ds
+
+
+def test_pf_score_downsample_needs_blur():
+    """score_downsample without the anti-alias blur (or without a
+    stride) is a configuration error at construction."""
+    with pytest.raises(ValueError, match="score_downsample"):
+        create_tracker("pf", "ssd", "2", pf_score_stride=4,
+                       pf_score_downsample=True)
+    with pytest.raises(ValueError, match="score_downsample"):
+        create_tracker("pf", "ssd", "2", pf_score_blur=True,
+                       pf_score_downsample=True)
 
 
 def test_pf_rescore_sharded_rejected():

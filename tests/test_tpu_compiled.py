@@ -84,9 +84,22 @@ rng = np.random.default_rng(0)
 img = np.cumsum(np.cumsum(rng.normal(0, 1, (160, 160)), 0), 1)
 img = (img - img.min()) / (img.max() - img.min()) * 255.0
 win = jnp.asarray(img, jnp.float32)
-for P, n in ((100, 64), (100, 16)):
+def centers(P, layout):
+    if layout == "grid":
+        # production layout: row-major patch grid (banded tiles are
+        # narrow y slabs)
+        side = int(np.sqrt(P))
+        g = np.linspace(35, 125, side)
+        return np.stack(np.meshgrid(g, g), -1).reshape(-1, 2)
+    # adversarial: random centers — tiles span the whole window, the
+    # banded path must mask out-of-band points rather than corrupt
+    return rng.uniform(30, 130, (P, 2))
+
+
+for (P, n), layout in (((100, 64), "grid"), ((100, 16), "grid"),
+                       ((100, 64), "random")):
     side = int(np.sqrt(n))
-    ctr = rng.uniform(30, 130, (P, 2))
+    ctr = centers(P, layout)
     off = np.stack(np.meshgrid(np.linspace(-4, 4, side),
                                np.linspace(-4, 4, side)), -1).reshape(-1, 2)
     pts = jnp.asarray((ctr[:, None] + off[None]).reshape(-1, 2).T,
