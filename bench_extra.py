@@ -283,7 +283,9 @@ def bench_esm_ncc():
     hess_type stays selft: the self0 (cached-H0) variant diverges on
     one fleet cell ON CHIP at this motion despite clean CPU GT —
     constant curvature + bf16 sampling noise has no per-iteration
-    correction."""
+    correction. r5 session 2: moment-form NCC bands the full-res
+    iterations like SSD (M=128 sampling dots): 48.6k -> 50.4k fps at
+    B=1024, GT 0.102 px unchanged (log/ab_esm_r5b.log)."""
     return _row("esm_ncc_hom8_frames_per_sec_per_chip",
                 ("esm", "ncc", "8"),
                 dict(resx=50, resy=50, max_iters=10, epsilon=0.0,
@@ -311,17 +313,21 @@ def bench_pf500():
     window collapses to ~80^2) and the top-64 rescore anchors a tight
     160 px window on the top-K cloud (rescore_crop): 3,972 -> 5,436
     fps same-session at equal accuracy (log/ab_pf_r5b.log; rc192 read
-    slower twice — 160 is the sweep point). The ~0.33 px chip GT is
-    protocol tail, not chip numerics: the CPU replica of the same
-    multi-object leg reads 0.308 (a few small smooth cells at 1-3 px
-    dominate the mean; 5-seed single-target CPU stays 0.152)."""
+    slower twice — 160 is the sweep point). The residual ~0.33 px chip
+    GT was protocol tail, not chip numerics (the CPU replica of the
+    same multi-object leg read the SAME 0.31: a few small smooth cells
+    at 1-3 px; 5-seed single-target CPU 0.152) — fixed by giving the
+    FCLM/SSIM refiner the coarse pyramid basin (coarse_pt_iters under
+    LM): chip 5,997 fps at 0.205 px GT (log/ab_pf4_r5b.log; ((2,5),)
+    reads 5,799 at 0.202 — same point within noise)."""
     return _row("pf500_fclm_ssim_hom8_frames_per_sec_per_chip",
                 ("pffc", "ssim", "8"),
                 dict(resx=25, resy=25, pf_n_particles=500, enable_lm=True,
                      max_iters=10, interp="linear_mm", crop=256,
                      pf_score_stride=4, pf_score_blur=True,
                      pf_rescore_top_k=64, pf_pix_sigma=2.0,
-                     pf_score_downsample=True, pf_rescore_crop=160),
+                     pf_score_downsample=True, pf_rescore_crop=160,
+                     coarse_pt_iters=((4, 3), (2, 3))),
                 B=128,
                 acc_sigma=0.005, baseline="native_pf500", chip_acc=True)
 

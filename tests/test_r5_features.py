@@ -112,6 +112,31 @@ def test_grid_flow_fused_parity(rng):
     assert np.abs(cs[False] - cs[True]).max() < 0.1
 
 
+def test_grid_flow_banded_random_layout(rng):
+    """The banded grid kernel stays FINITE and bounded on a non-slab
+    (random-center) point layout: out-of-band points are masked out of
+    the stats and solve instead of sampling band-edge garbage (r5
+    session 2; the compiled CI lane caught the unmasked version
+    exploding through the ZNCC 1/sd amplification)."""
+    from mtf_tpu.ops.pallas.grid_flow import grid_flow_fused
+    img = np.asarray(_scene2(rng, 160, 160))
+    win = jnp.asarray(img, jnp.float32)
+    P, n = 100, 64
+    side = int(np.sqrt(n))
+    ctr = rng.uniform(30, 130, (P, 2))
+    off = np.stack(np.meshgrid(np.linspace(-4, 4, side),
+                               np.linspace(-4, 4, side)),
+                   -1).reshape(-1, 2)
+    pts = jnp.asarray((ctr[:, None] + off[None]).reshape(-1, 2).T,
+                      jnp.float32)
+    t = jnp.asarray([img[int(np.clip(y, 0, 159)), int(np.clip(x, 0, 159))]
+                     for x, y in np.asarray(pts).T], jnp.float32)
+    d = np.asarray(grid_flow_fused(win, pts, t, jnp.float32(50.0), n, 4,
+                                   True, interpret=True))
+    assert np.isfinite(d).all()
+    assert np.abs(d).max() < 50.0, np.abs(d).max()
+
+
 def test_lm_coarse_phases_converge(rng):
     """coarse_pt_iters under LM (phase-consistent f): accuracy within
     1.5x of the flat schedule on an exact-GT sequence."""
