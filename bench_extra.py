@@ -343,8 +343,14 @@ def bench_nn1k():
     pixels (the ICLM/MI refiner keeps the AM), cutting the dataset
     memory 32-fold (MI's binned features capped the fleet at B=32, the
     r4 RESOURCE_EXHAUSTED) -> B=256: chip sweep 2.1k -> 16.5k fps at
-    BETTER chip GT (1.29 vs 1.65 px — both sit on the chip-MI Parzen
-    floor; CPU legs identical at 0.200 px, log/ab_nn_raw.log)."""
+    BETTER chip GT (1.29 vs 1.65 px binned).
+    r5 session 2: the ~1.3 px figure is PROTOCOL TAIL, not a chip-MI
+    floor as first thought — the CPU replica of the same multi-object
+    leg reads 1.248 (worst cells 3-6 px; single-target CPU 0.200), and
+    HIGHEST-precision sampling changes nothing (1.274 at -25% fps).
+    Basin levers probed on the replica: deeper coarse 1.22, max_iters
+    15 -> 1.142, nn2k -> 1.183 — all marginal; the hard cells are an
+    MI-on-small-smooth-targets limitation, shipped as-is."""
     return _row("nn1k_iclm_mi_hom8_frames_per_sec_per_chip",
                 ("nnic", "mi", "8"),
                 dict(resx=25, resy=25, nn_n_samples=1000, enable_lm=True,
@@ -472,11 +478,13 @@ def bench_spline():
     (ops/linalg.chol_solve_blocked) instead of the LAPACK custom call
     whose removal bought RKLT 4.7x in r4. Generic XLA path (non-matrix
     SSM); accuracy leg vs an exact-GT homography sequence the spline
-    must approximate."""
+    must approximate. r5 session-2 chip B sweep (log/ab_sp_r5b.log):
+    11.0k @ 64 / 12.3k @ 128 / 15.2k @ 256 / 12.6k @ 512 — B=256 is
+    the peak."""
     return _row("spline50_fclk_ssd_frames_per_sec_per_chip",
                 ("fclk", "ssd", "spline"),
                 dict(resx=32, resy=32, max_iters=5, epsilon=0.0,
-                     interp="linear_mm", crop=144), B=64,
+                     interp="linear_mm", crop=144), B=256,
                 acc_sigma=0.004, baseline="jax_cpu")
 
 

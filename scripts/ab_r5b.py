@@ -20,7 +20,7 @@ from bench_extra import _fleet_fps  # noqa: E402
 which = sys.argv[1]
 
 
-def run(name, args, kwargs, B, frame3=False):
+def run(name, args, kwargs, B, frame3=False, chip_acc=True):
     t0 = time.perf_counter()
     try:
         trk = create_tracker(*args, **kwargs)
@@ -40,7 +40,8 @@ def run(name, args, kwargs, B, frame3=False):
             jax.block_until_ready(states)
             fps, mcd = B * STEPS / (time.perf_counter() - t1), None
         else:
-            fps, mcd = _fleet_fps(trk, B, chip_acc=True)
+            fps, mcd = (_fleet_fps(trk, B, chip_acc=True) if chip_acc
+                        else (_fleet_fps(trk, B), None))
         out = {"config": name, "fps": round(fps, 1),
                "wall_s": round(time.perf_counter() - t0, 1)}
         if mcd is not None:
@@ -128,6 +129,13 @@ elif which == "esm":
     run("esm-ncc-B512", ("esm", "ncc", "8"), kw, 512)
     run("esm-ncc-flat-B1024", ("esm", "ncc", "8"),
         {k: v for k, v in kw.items() if k != "coarse_pt_iters"}, 1024)
+elif which == "sp":
+    # spline row chip tuning (first ever): B sweep + iteration budget
+    SK = dict(resx=32, resy=32, max_iters=5, epsilon=0.0,
+              interp="linear_mm", crop=144)
+    run("sp-B64", ("fclk", "ssd", "spline"), SK, 64, chip_acc=False)
+    run("sp-B128", ("fclk", "ssd", "spline"), SK, 128, chip_acc=False)
+    run("sp-B256", ("fclk", "ssd", "spline"), SK, 256, chip_acc=False)
 elif which == "nn":
     NK = dict(resx=25, resy=25, nn_n_samples=1000, enable_lm=True,
               max_iters=10, interp="linear_mm", crop=224,
