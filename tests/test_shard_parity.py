@@ -37,7 +37,9 @@ CORNERS = jnp.asarray([[50, 40], [110, 40], [110, 100], [50, 100]],
     PFParams(n_particles=64, seed=3,
              ssm_sigmas=((0.01, 0.01), (0.05, 0.05))),
     PFParams(n_particles=64, seed=3, jacobian_as_sigma=True),
-], ids=["base", "multi-distr", "jac-sigma"])
+    PFParams(n_particles=64, seed=3, score_stride=2, score_blur=True,
+             score_downsample=True),
+], ids=["base", "multi-distr", "jac-sigma", "score-downsample"])
 def test_sharded_pf_matches_unsharded(frames, pfp):
     img, img2 = frames
     mesh = make_mesh({"particle": 8})
